@@ -31,6 +31,9 @@ object SparkEntry {
     "q_j2_corrections_join"-> Queries.correctionsJoin _,
     "q_a5_value_counts"    -> Queries.valueCounts _,
     "q_f5_sha2_key"        -> Queries.sha2Key _,
+    // --- the CDC engine end-to-end (north rule; oracle = ScalaTest fold,
+    // not SQL-expressible → driver does a rows-only check) ---
+    "q_cdc_engine_e2e"     -> Queries.cdcEngineE2e _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -134,6 +137,28 @@ object Queries {
   /** A5/P3: value_counts (reference oryx.py:58-64). */
   def valueCounts(s: SparkSession, d: String): DataFrame =
     events(s, d).groupBy("event_type").agg(count(lit(1)).as("n"))
+
+  /** North rule end-to-end: seeded change-event log → streaming foreachBatch
+    * MERGE into the from-scratch lake table → final state with per-row
+    * sha2(content) invariant. Correctness oracle lives in ScalaTest
+    * (graft.stream.CdcIngestSpec vs ReplayOracle); here the driver
+    * smoke-checks rows>0. Deterministic: seeded generator, fresh temp dirs.
+    */
+  def cdcEngineE2e(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_q_cdc").toString
+    val cfg = graft.events.EventLog.Config(
+      numEvents = 20000L, numRepos = 100, pathsPerRepo = 100,
+      duplicateRate = 0.03, schemaChangeLsns = Seq(7000L, 14001L))
+    graft.events.EventLog.write(s, cfg, s"$work/events", 4)
+    val ingest = new graft.stream.CdcIngest(
+      s, s"$work/table", s"$work/events", s"$work/cp", saltBuckets = 4)
+    ingest.runToCompletion()
+    val t = ingest.table.read()
+    t.select(t.schema.fieldNames.toSeq.map {
+      case "content" => sha2(col("content"), 256).as("content_sha")
+      case c => col(c)
+    }: _*)
+  }
 
   /** F5: sha256 row keying (reference oryx.py:253-267) via built-in sha2 —
     * codegen'd, no UDF.

@@ -1,0 +1,61 @@
+package graft.kernel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase salted dedup for hot keys (SURVEY.md §7.4).
+  *
+  * AQE's skew-join splitting does not help window functions: a window over
+  * `(repo, path)` puts every event of a hot repo in one task. Phase 1 adds a
+  * deterministic salt derived from the ORDER columns (so it is stable under
+  * re-execution) and reduces each `(key, salt)` cell to its max-order row —
+  * at most `saltBuckets` survivors per key, spread over `saltBuckets`× more
+  * partitions. Phase 2 runs the plain window on the tiny survivor set.
+  *
+  * Both phases keep whole rows (no struct packing) and stay in whole-stage
+  * codegen except the window sorts themselves.
+  */
+object Salting {
+
+  /** Max-order-wins dedup with salting. `ordCols` highest tuple wins;
+    * ties keep the first by the same columns ascending… i.e. order must be
+    * total for determinism (callers pass (lsn, event_id)).
+    *
+    * @param saltBuckets 0/1 disables phase 1 (plain single window)
+    */
+  def dedupSalted(
+      df: DataFrame,
+      keyCols: Seq[String],
+      ordCols: Seq[Column],
+      saltBuckets: Int): DataFrame = {
+    if (saltBuckets <= 1) {
+      ChangeOps.dedupLastWins(df, keyCols, ordCols)
+    } else {
+      val salt = pmod(xxhash64(ordCols: _*), lit(saltBuckets.toLong))
+      val salted = df.withColumn("__salt", salt)
+        .repartition((keyCols.map(col) :+ col("__salt")): _*)
+      val w1 = Window.partitionBy((keyCols.map(col) :+ col("__salt")): _*)
+        .orderBy(ordCols.map(_.desc): _*)
+      val survivors = salted.withColumn("__rn", row_number().over(w1))
+        .filter(col("__rn") === 1).drop("__rn", "__salt")
+      ChangeOps.dedupLastWins(survivors, keyCols, ordCols)
+    }
+  }
+
+  /** Pick a salt bucket count from an approximate hot-key probe: sample the
+    * batch, look at the max per-key share, and size buckets so the hottest
+    * key's expected per-task row count stays near the mean. Cheap (sampled
+    * local agg) and good enough — dedup is correct for any bucket count.
+    */
+  def chooseSaltBuckets(df: DataFrame, keyCols: Seq[String], targetPerBucket: Long = 500000L): Int = {
+    val sample = df.sample(0.01, 42L)
+    val top = sample.groupBy(keyCols.map(col): _*).count()
+      .agg(max("count")).collect()(0)
+    if (top.isNullAt(0)) 1
+    else {
+      val hottest = top.getLong(0) * 100 // un-sample
+      math.min(64, math.max(1, (hottest / targetPerBucket).toInt))
+    }
+  }
+}

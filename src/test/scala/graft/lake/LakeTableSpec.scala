@@ -1,0 +1,120 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.events.EventLog
+
+class LakeTableSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ev(
+      lsn: Long, op: String, repo: String = null, path: String = null,
+      commit: String = null, lang: String = null, content: String = null,
+      sc: String = null, extra: String = null, eventId: Long = 0L): Row =
+    Row(lsn, eventId, new java.sql.Timestamp(1700000000000L + lsn * 1000), op,
+      repo, path, commit, lang, content, sc, extra)
+
+  private def batch(rows: Row*): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), EventLog.eventSchema)
+
+  private def freshTable(): LakeTable = {
+    val t = new LakeTable(spark, tmpDir("lake"))
+    t.create(LakeTable.baseSchema)
+    t
+  }
+
+  test("insert, update, delete across batches — last LSN wins, tombstones retained") {
+    val t = freshTable()
+    t.merge(batch(
+      ev(1, "insert", "r1", "a.scala", "c1", "scala", "v1"),
+      ev(2, "insert", "r1", "b.scala", "c2", "scala", "v2"),
+      ev(3, "insert", "r2", "x.py", "c3", "py", "v3")), "e", 0)
+    t.merge(batch(
+      ev(4, "update", "r1", "a.scala", "c4", "scala", "v4"),
+      ev(5, "delete", "r2", "x.py")), "e", 1)
+    val got = t.read().select("repo", "path", "content").as[(String, String, String)]
+      .collect().toSet
+    assert(got === Set(("r1", "a.scala", "v4"), ("r1", "b.scala", "v2")))
+    // tombstone for the deleted key is physically retained
+    val raw = t.readRaw().filter(col("_deleted")).select("repo", "path", "_lsn")
+      .as[(String, String, Long)].collect().toSet
+    assert(raw === Set(("r2", "x.py", 5L)))
+  }
+
+  test("replayed batchId is a no-op (exactly-once ledger)") {
+    val t = freshTable()
+    val b = batch(ev(1, "insert", "r1", "a", "c1", "scala", "v1"))
+    val s1 = t.merge(b, "e", 0)
+    assert(!s1.noOp && s1.upserts === 1)
+    val s2 = t.merge(batch(ev(99, "update", "r1", "a", "c9", "scala", "SHOULD_NOT_APPLY")), "e", 0)
+    assert(s2.noOp)
+    assert(t.read().select("content").as[String].collect().toSeq === Seq("v1"))
+    // a different epoch is a different ledger key
+    val s3 = t.merge(b, "other", 0)
+    assert(!s3.noOp)
+  }
+
+  test("stale duplicate after a newer delete does not resurrect the row") {
+    val t = freshTable()
+    t.merge(batch(ev(1, "insert", "r1", "a", "c1", "scala", "v1")), "e", 0)
+    t.merge(batch(ev(2, "delete", "r1", "a")), "e", 1)
+    // duplicate delivery of the original insert (same lsn, bumped event_id)
+    t.merge(batch(ev(1, "insert", "r1", "a", "c1", "scala", "v1", eventId = 1)), "e", 2)
+    assert(t.read().count() === 0)
+  }
+
+  test("same-LSN duplicate within one batch collapses; re-applied row keeps target") {
+    val t = freshTable()
+    val s = t.merge(batch(
+      ev(1, "insert", "r1", "a", "c1", "scala", "v1"),
+      ev(1, "insert", "r1", "a", "c1", "scala", "v1", eventId = 1)), "e", 0)
+    assert(s.duplicatesDropped === 1 && s.upserts === 1)
+    // identical event arriving again in a later batch → target (equal lsn) wins
+    t.merge(batch(ev(1, "insert", "r1", "a", "c1", "scala", "v1")), "e", 1)
+    assert(t.read().count() === 1)
+  }
+
+  test("schema evolution: addColumn widens schema, old rows null, extras LSN-gated") {
+    val t = freshTable()
+    t.merge(batch(
+      ev(1, "insert", "r1", "a", "c1", "scala", "v1", extra = """{"stars": 7}""")), "e", 0)
+    t.merge(batch(
+      ev(2, "schema_change", sc = """{"addColumn":{"name":"stars","type":"long"}}"""),
+      ev(3, "insert", "r1", "b", "c2", "scala", "v2", extra = """{"stars": 9}"""),
+      ev(4, "insert", "r1", "c", "c3", "scala", "v3")), "e", 1)
+    val got = t.read().select("path", "stars").as[(String, Option[Long])].collect().toMap
+    // row a: extra existed but PRE-dated the column add (lsn 1 < 2) → null
+    assert(got === Map("a" -> None, "b" -> Some(9L), "c" -> None))
+    // re-adding the same column is idempotent
+    val s = t.merge(batch(
+      ev(5, "schema_change", sc = """{"addColumn":{"name":"stars","type":"long"}}""")), "e", 2)
+    assert(s.schemaChanges === 0)
+    // an update after the add DOES apply the extra to an old row
+    t.merge(batch(
+      ev(6, "update", "r1", "a", "c1b", "scala", "v1b", extra = """{"stars": 42}""")), "e", 3)
+    assert(t.read().filter(col("path") === "a").select("stars").as[Long].head() === 42L)
+  }
+
+  test("file pruning carries untouched files forward unchanged") {
+    val t = freshTable()
+    // two commits with disjoint repo ranges → disjoint file ranges
+    t.merge(batch(ev(1, "insert", "aaa", "p", "c", "scala", "x")), "e", 0)
+    val aaaFiles = t.head().files.map(_.path).toSet
+    t.merge(batch(ev(2, "insert", "zzz", "p", "c", "scala", "y")), "e", 1)
+    // touch only the 'zzz' range: the aaa file must be carried forward as-is
+    t.merge(batch(ev(3, "update", "zzz", "p", "c2", "scala", "y2")), "e", 2)
+    val snap = t.head()
+    assert(aaaFiles.subsetOf(snap.files.map(_.path).toSet),
+      s"aaa file rewritten though its range was untouched: $aaaFiles vs ${snap.files.map(_.path)}")
+    assert(t.read().count() === 2)
+    assert(t.read().filter(col("repo") === "zzz").select("content").as[String].head() === "y2")
+  }
+
+  test("delete of an absent key creates a tombstone, not a live row") {
+    val t = freshTable()
+    t.merge(batch(ev(1, "delete", "r9", "ghost")), "e", 0)
+    assert(t.read().count() === 0)
+    assert(t.readRaw().filter(col("_deleted")).count() === 1)
+  }
+}
