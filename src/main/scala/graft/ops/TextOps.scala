@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting. All pure
+  * Catalyst expressions (built-ins + higher-order functions) — no UDFs on the
+  * hot path, whole-stage-codegen friendly, embarrassingly parallel (no
+  * shuffle: every op is per-row).
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword token count: runs of letters, runs of digits, or single
+    * non-space symbols — a cheap, deterministic proxy for tokenizer cost.
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Normalized lowercase word tokens. */
+  def wordTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Quality heuristics: alpha ratio, whitespace ratio, punctuation ratio,
+    * stopword ratio, mean word length — the usual cheap pre-filters.
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "at", "by", "from", "that", "this")
+
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val n = length(t).cast("double")
+    val toks = wordTokens(t)
+    val nToks = size(toks).cast("double")
+    val stopHits = size(filter(toks, w => w.isin(stopwords.map(lit): _*))).cast("double")
+    df.withColumn("n_chars", length(t).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("alpha_ratio", round(length(regexp_replace(t, "[^A-Za-z]", "")) / n, 4))
+      .withColumn("space_ratio", round(length(regexp_replace(t, "[^ \\t\\n]", "")) / n, 4))
+      .withColumn("punct_ratio", round(length(regexp_replace(t, "[^.,;:!?'\"()]", "")) / n, 4))
+      .withColumn("stopword_ratio", round(when(nToks > 0, stopHits / nToks).otherwise(0.0), 4))
+      .withColumn("mean_word_len",
+        round(when(nToks > 0, aggregate(toks, lit(0L), (acc, w) => acc + length(w)) / nToks)
+          .otherwise(0.0), 4))
+  }
+
+  /** N-gram-heuristic language ID: score = stopword-marker hits per language,
+    * argmax with deterministic tiebreak (score desc, language asc). Markers
+    * are tiny constant arrays → codegen'd `isin`, no dictionaries shipped.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour"),
+    "es" -> Seq("el", "la", "los", "que", "es", "por", "una"),
+    "it" -> Seq("il", "la", "che", "di", "non", "per", "una"))
+
+  def langId(text: Column, out: String = "lang_pred"): Column = {
+    val toks = wordTokens(text)
+    // struct ordering trick: max(struct(score, reverse-alph lang)) = argmax
+    val scored = langMarkers.map { case (lang, markers) =>
+      struct(size(filter(toks, w => w.isin(markers.map(lit): _*))).as("score"),
+             lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("unknown"))
+  }
+
+  /** Rolling document fingerprint: chained hash over each k-token window,
+    * winnowed to the MIN window hash (robust to small edits away from the
+    * minimizing window). Pure higher-order functions: sequence → transform →
+    * aggregate; the window chain uses xxhash64(acc, h) rather than a
+    * polynomial so it stays overflow-free under ANSI mode.
+    */
+  def fingerprint(text: Column, k: Int = 8): Column = {
+    val toks = wordTokens(text)
+    val hashes = transform(toks, t => xxhash64(t))
+    val nWin = greatest(size(hashes) - (k - 1), lit(1))
+    val windows = transform(sequence(lit(0), nWin - 1), i =>
+      aggregate(slice(hashes, i + 1, lit(k)), lit(0L), (acc, h) => xxhash64(acc, h)))
+    array_min(windows)
+  }
+
+  /** Shingle strings: k-token shingles joined with ''. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = wordTokens(text)
+    val nWin = greatest(size(toks) - (k - 1), lit(1))
+    array_distinct(transform(sequence(lit(0), nWin - 1), i =>
+      concat_ws("", slice(toks, i + 1, lit(k)))))
+  }
+}

@@ -1,0 +1,204 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.functions.SimHash64
+
+class TextOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq("Hello, world! 42 times").toDF("text")
+    val (ws, bpe) = df.select(TextOps.tokenCountWs(col("text")),
+      TextOps.tokenCountBpe(col("text"))).as[(Int, Int)].head()
+    assert(ws === 4)
+    // Hello , world ! 42 times = 6
+    assert(bpe === 6)
+  }
+
+  test("quality metrics on a known string") {
+    val df = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val r = TextOps.qualityScore(df).select(
+      "n_chars", "n_tokens", "alpha_ratio", "stopword_ratio", "mean_word_len").head()
+    assert(r.getLong(0) === 11 && r.getLong(1) === 3)
+    assert(r.getDouble(2) === math.rint(9.0 / 11.0 * 10000) / 10000)
+    assert(r.getDouble(3) === math.rint(1.0 / 3.0 * 10000) / 10000)
+    assert(r.getDouble(4) === 3.0)
+  }
+
+  test("langId picks the marker-dominant language; unknown when no hits") {
+    val df = Seq(
+      "the cat and the dog is of note",
+      "der hund und die katze ist nicht da",
+      "zzz qqq xxx").toDF("text")
+    val got = df.select(TextOps.langId(col("text"))).as[String].collect().toSeq
+    assert(got === Seq("en", "de", "unknown"))
+  }
+
+  test("fingerprint: equal docs equal, prefix-extended doc keeps min window often") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "totally different words entirely unrelated content here now")
+    ).toDF("id", "text")
+    val fp = df.select(col("id"), TextOps.fingerprint(col("text"), k = 4).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+}
+
+class SimHashSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("simhash64: identical token sets agree; near sets are close in Hamming") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely unrelated legal boilerplate paragraph about insurance")
+    ).toDF("id", "text")
+    val sims = df.select(col("id"),
+      SimHash64.simhash64(TextOps.wordTokens(col("text"))).as("s"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(2L)) < ham(sims(1L), sims(3L)))
+    assert(ham(sims(1L), sims(2L)) <= 12)
+  }
+
+  test("simhash64 stays in whole-stage codegen (no fallback)") {
+    // spark.range → Project goes through WholeStageCodegen; a LocalTableScan
+    // wouldn't exercise doGenCode at all
+    val df = spark.range(3).select(
+      SimHash64.simhash64(split(concat(lit("a b c "), col("id")), " ")).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(1) Project [simhash64(...)]" — the * marks WholeStageCodegen in the
+    // simple plan string; no fallback/interpreted Project node
+    assert(plan.contains("*(1) Project [simhash64"), plan)
+    assert(df.as[Long].collect().length === 3)
+  }
+}
+
+class DedupOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),   // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away tonight"),// near dup of 0
+    (3L, "spark engines shuffle data between executors for wide dependencies"),
+    (4L, "completely different content about cooking pasta with tomato sauce")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps min-id survivor per digest") {
+    val got = DedupOps.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(0L, 2L, 3L, 4L))
+  }
+
+  test("minhash LSH finds the exact-dup pair with est≈1 and the near-dup pair") {
+    val pairs = DedupOps.minhashLshPairs(docs, "text", "doc_id", threshold = 0.4)
+      .as[(Long, Long, Double)].collect().map(p => ((p._1, p._2), p._3)).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) === 1.0)
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)),
+      s"near-dup pair not found: $pairs")
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("simhash pairs find near-dups, skip unrelated") {
+    val pairs = DedupOps.simhashPairs(docs, "text", "doc_id", maxHamming = 8)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("ngram jaccard matches a hand-computed value") {
+    val two = Seq(
+      (0L, "a b c d e"),
+      (1L, "a b c d x")
+    ).toDF("doc_id", "text")
+    // 3-shingles: {abc,bcd,cde} vs {abc,bcd,cdx}: |∩|=2 |∪|=4 → 0.5
+    val got = DedupOps.ngramJaccardPairs(two, "text", "doc_id", shingleK = 3,
+      threshold = 0.1).as[(Long, Long, Double)].collect()
+    assert(got.length === 1 && got(0) === ((0L, 1L, 0.5)))
+  }
+
+  test("embedding near-dup finds duplicated vectors") {
+    val base = (0 until 64).map(i => math.sin(i * 0.7).toFloat)
+    val noisy = base.zipWithIndex.map { case (v, i) => if (i == 0) v + 0.001f else v }
+    val other = (0 until 64).map(i => math.cos(i * 1.3 + 1).toFloat)
+    val df = Seq((0L, base), (1L, noisy), (2L, other)).toDF("vec_id", "embedding")
+    val pairs = DedupOps.embeddingNearDupPairs(df, "embedding", "vec_id", threshold = 0.99)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+}
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  // clustered corpus (realistic embedding geometry): 20 centers, 10 members
+  // each with small noise — nearest neighbors are cluster mates
+  private def vec(seed: Int): Seq[Float] = {
+    val cluster = seed / 10
+    val rc = new scala.util.Random(900 + cluster)
+    val center = Seq.fill(64)(rc.nextGaussian())
+    val rn = new scala.util.Random(seed)
+    center.map(c => (c + 0.15 * rn.nextGaussian()).toFloat)
+  }
+  private lazy val corpus = (0 until 200).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK matches a driver-side computation") {
+    val queries = corpus.filter(col("vec_id") < 3)
+    val got = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 3)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+    // driver-side oracle
+    val vecs = (0 until 200).map(i => i.toLong -> vec(i).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for (q <- 0L until 3L) {
+      val want = vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (-cos(vecs(q), vecs(n)), n)).take(3)
+      assert(got(q) === want, s"query $q")
+    }
+  }
+
+  test("lshTopK achieves reasonable recall vs brute force on bucketed candidates") {
+    val queries = corpus.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(corpus, queries, "embedding", "vec_id",
+      k = 5, planes = 8, tables = 8)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall") // 8 tables × 8 planes OR-amplified
+    // every LSH result must be a real corpus neighbor of the query's bucket
+    assert(lsh.forall { case (q, n) => q != n })
+  }
+}
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("binary plumbing: encode → decode metadata → frame sampling") {
+    val df = Seq(1L, 2L, 100L).toDF("doc_id")
+    val withMedia = Multimodal.withFakeMedia(df, "doc_id")
+    assert(withMedia.schema("media").dataType.typeName === "binary")
+    val meta = Multimodal.decodeMeta(spark, withMedia, "doc_id").collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(meta(100L).width === 16 + 100 % 64)
+    assert(meta(100L).height === 16 + 100 % 48)
+    assert(meta(100L).n_frames === 1 + 100 % 8)
+    assert(meta(100L).n_bytes === 16L + (meta(100L).width * meta(100L).height / 8) * meta(100L).n_frames)
+    val frames = Multimodal.sampleFrames(spark, withMedia, "doc_id", stride = 2).collect()
+    val f100 = frames.filter(_.doc_id == 100L)
+    assert(f100.length === (meta(100L).n_frames + 1) / 2)
+    assert(f100.forall(_.frame_sha.length === 64))
+    // determinism: same id → same frame digests
+    val again = Multimodal.sampleFrames(spark, withMedia, "doc_id", stride = 2).collect()
+      .filter(_.doc_id == 100L).map(_.frame_sha).toSeq
+    assert(again === f100.map(_.frame_sha).toSeq)
+  }
+}
