@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local-mode Spark: driver = executors; the sandbox has 125 GiB, and an
+  // 8g heap makes multi-GB shuffles spill to the single virtual disk, which
+  // flattens core-scaling. Pin the heap (Xms=Xmx, no shrink) — G1 growing
+  // and uncommitting tens of GB across runs showed up as minutes of kernel
+  // page-zeroing time and swamped the benchmark.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:MaxHeapFreeRatio=100",
 )

@@ -32,6 +32,23 @@ object ChangeOps {
       .drop("__rn")
   }
 
+  /** Same semantics as [[dedupLastWins]] via hash aggregation:
+    * `max_by(struct(row), struct(ordCols))`. The winning property at scale is
+    * PARTIAL AGGREGATION — duplicates of a hot key collapse map-side before
+    * the shuffle, so a key with 10^7 events ships O(#map-partitions) rows,
+    * not 10^7. This makes explicit salting unnecessary for dedup (it remains
+    * available for the window formulation, which some callers need for
+    * rank > 1 semantics). Requires a total `ordCols` order (struct compare is
+    * lexicographic).
+    */
+  def dedupLastWinsAgg(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column]): DataFrame = {
+    val payload = struct(df.columns.map(col).toSeq: _*)
+    val ord = struct(ordCols: _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload, ord).as("__w"))
+      .select(col("__w.*"))
+  }
+
   /** Running ordinal per key = the reference's `calculate_case_id`
     * (oryx.py:345-377: cumsum(1) over key window, parse order implicit).
     * Here order is the explicit `ordCols` total order.

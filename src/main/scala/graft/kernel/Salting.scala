@@ -18,18 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Max-order-wins dedup with salting. `ordCols` highest tuple wins;
-    * ties keep the first by the same columns ascending… i.e. order must be
-    * total for determinism (callers pass (lsn, event_id)).
+  /** Max-order-wins dedup with a skew strategy dial. `ordCols` highest tuple
+    * wins; order must be total for determinism (callers pass (lsn, event_id)).
     *
-    * @param saltBuckets 0/1 disables phase 1 (plain single window)
+    * @param saltBuckets  0 → hash-agg dedup (map-side partial combine — the
+    *                     default engine path; hot keys collapse before the
+    *                     shuffle, no salting needed);
+    *                     1 → plain single window;
+    *                     >1 → two-phase salted window (for comparison and for
+    *                     callers needing window semantics under skew)
     */
   def dedupSalted(
       df: DataFrame,
       keyCols: Seq[String],
       ordCols: Seq[Column],
       saltBuckets: Int): DataFrame = {
-    if (saltBuckets <= 1) {
+    if (saltBuckets <= 0) {
+      ChangeOps.dedupLastWinsAgg(df, keyCols, ordCols)
+    } else if (saltBuckets == 1) {
       ChangeOps.dedupLastWins(df, keyCols, ordCols)
     } else {
       val salt = pmod(xxhash64(ordCols: _*), lit(saltBuckets.toLong))

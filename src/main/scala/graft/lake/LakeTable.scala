@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.json4s._
@@ -82,15 +82,49 @@ final class LakeTable(spark: SparkSession, val root: String) {
   /** Apply one micro-batch of change events (EventLog.eventSchema shape).
     * Idempotent per (epoch, batchId): a replayed batch is a no-op.
     */
+  private val timing = sys.env.getOrElse("GRAFT_MERGE_TIMING", "0") == "1"
+  private def timed[T](name: String)(f: => T): T = {
+    if (!timing) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[merge-timing] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+  }
+
   def merge(batch: DataFrame, epoch: String, batchId: Long, saltBuckets: Int = 1): MergeStats = {
     val snap = head()
     if (snap.appliedBatches.contains((epoch, batchId))) {
       return MergeStats(epoch, batchId, snap.version, 0, 0, 0, 0, 0, noOp = true)
     }
 
+    // ---- ONE narrow pre-aggregation (key/lsn/op/schema_change only — a few
+    // % of batch bytes) feeds three needs that used to be separate jobs:
+    // schema-change extraction, lineage counters, and file pruning. The
+    // shuffled per-key agg is cached so the two driver actions share it.
+    val keyAgg = batch
+      .select(col("repo"), col("path"), col("lsn"), col("event_id"), col("op"),
+        col("schema_change"))
+      .groupBy(col("repo"), col("path"))
+      .agg(
+        max_by(col("op"), struct(col("lsn"), col("event_id"))).as("__winOp"),
+        count(lit(1)).as("__n"),
+        collect_list(when(col("op") === "schema_change",
+          struct(col("lsn"), col("schema_change")))).as("__sc"))
+      .persist()
+
+    val (scRows, distinctKeys, eventsSeen, deleteWinners) = timed("pre-agg") {
+      val r = keyAgg.agg(
+        coalesce(sum(when(col("__winOp") =!= "schema_change", 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("__winOp") =!= "schema_change", col("__n")).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("__winOp") === "delete", 1L).otherwise(0L)), lit(0L)),
+        flatten(collect_list(col("__sc")))).collect()(0)
+      val sc = r.getSeq[org.apache.spark.sql.Row](3).sortBy(_.getLong(0))
+      (sc, r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+
     // ---- schema-change events: evolve schema, record add-LSN gates ----
-    val scRows = batch.filter(col("op") === "schema_change")
-      .select("lsn", "schema_change").collect().sortBy(_.getLong(0))
     var schema = snap.schema
     var addedAt = snap.addedAtLsn
     var scApplied = 0L
@@ -107,93 +141,194 @@ final class LakeTable(spark: SparkSession, val root: String) {
     }
     val evolved = snap.copy(schema = schema, addedAtLsn = addedAt)
 
-    // ---- dedup data events: max-(lsn, event_id)-wins, salted for hot keys ----
-    val obs = Observation(s"graft-merge-$epoch-$batchId")
+    // ---- the change stream for this batch (all data events) ----
     val data = batch.filter(col("op") =!= "schema_change")
-      .observe(obs, count(lit(1)).as("n"))
-    val deduped = Salting.dedupSalted(data, keyCols, Seq(col("lsn"), col("event_id")), saltBuckets)
-      .persist()
-    try {
-      // ---- project winners to storage rows (extra gated by column add-LSN) ----
-      val srcCols = evolved.schema.fields.toSeq.map { f =>
-        if (keyCols.contains(f.name)) col(f.name)
-        else addedAt.get(f.name) match {
-          case Some(atLsn) =>
-            when(col("lsn") > lit(atLsn) && col("op") =!= "delete",
-              get_json_object(col("extra"), s"$$.${f.name}").cast(f.dataType)).as(f.name)
-          case None =>
-            when(col("op") === "delete", lit(null).cast(f.dataType))
-              .otherwise(col(f.name).cast(f.dataType)).as(f.name)
-        }
+
+    // optional pre-dedup for extreme duplicate storms: saltBuckets selects
+    //  0 (default) → none: the fused merge window dedups everything in the
+    //                single range shuffle below;
+    // -1           → hash-agg pre-dedup (map-side partial combine collapses
+    //                hot-key duplicates before any shuffle);
+    // >=1          → (salted) window pre-dedup, for comparison.
+    val changes =
+      if (saltBuckets == 0) data
+      else Salting.dedupSalted(data, keyCols, Seq(col("lsn"), col("event_id")),
+        if (saltBuckets < 0) 0 else saltBuckets)
+
+    // ---- project events to storage rows (extras gated by column add-LSN) ----
+    val srcCols = evolved.schema.fields.toSeq.map { f =>
+      if (keyCols.contains(f.name)) col(f.name)
+      else addedAt.get(f.name) match {
+        case Some(atLsn) =>
+          when(col("lsn") > lit(atLsn) && col("op") =!= "delete",
+            get_json_object(col("extra"), s"$$.${f.name}").cast(f.dataType)).as(f.name)
+        case None =>
+          when(col("op") === "delete", lit(null).cast(f.dataType))
+            .otherwise(col(f.name).cast(f.dataType)).as(f.name)
       }
-      val src = deduped.select(srcCols ++ Seq(
-        col("lsn").as("_lsn"),
-        (col("op") === "delete").as("_deleted"),
-        col("event_id").as("__tie"),
-        lit(false).as("__isTarget")): _*)
+    }
+    val src = changes.select(srcCols ++ Seq(
+      col("lsn").as("_lsn"),
+      (col("op") === "delete").as("_deleted"),
+      col("event_id").as("__tie"),
+      lit(false).as("__isTarget")): _*)
 
-      // ---- file pruning: touch only files whose repo range meets batch keys ----
-      val touched: Set[String] =
-        if (snap.files.isEmpty) Set.empty
-        else {
-          import spark.implicits._
-          val manifest = snap.files.map(f => (f.path, f.minRepo, f.maxRepo))
-            .toDF("__file", "__minRepo", "__maxRepo")
-          deduped.select(col("repo")).distinct()
-            .join(broadcast(manifest),
-              col("repo") >= col("__minRepo") && col("repo") <= col("__maxRepo"))
-            .select("__file").distinct().collect().map(_.getString(0)).toSet
-        }
+    // ---- file pruning: touch only files whose repo range meets batch keys
+    // (reuses the cached narrow key agg — no extra input scan) ----
+    val touched: Set[String] = timed("prune")(
+      if (snap.files.isEmpty) Set.empty
+      else {
+        import spark.implicits._
+        val manifest = snap.files.map(f => (f.path, f.minRepo, f.maxRepo))
+          .toDF("__file", "__minRepo", "__maxRepo")
+        keyAgg.select(col("repo")).distinct()
+          .join(broadcast(manifest),
+            col("repo") >= col("__minRepo") && col("repo") <= col("__maxRepo"))
+          .select("__file").distinct().collect().map(_.getString(0)).toSet
+      })
+    keyAgg.unpersist()
 
-      val target = readStored(evolved, touched.toSeq)
-        .withColumn("__tie", lit(Long.MaxValue)) // target wins LSN ties: re-applied dup is a no-op
-        .withColumn("__isTarget", lit(true))
+    val target = readStored(evolved, touched.toSeq)
+      .withColumn("__tie", lit(Long.MaxValue)) // target wins LSN ties: re-applied dup is a no-op
+      .withColumn("__isTarget", lit(true))
 
-      // ---- the MERGE window: one row per key survives ----
-      val merged = ChangeOps.dedupLastWins(
-        target.unionByName(src), keyCols, Seq(col("_lsn"), col("__tie")))
+    // ---- the fused MERGE: ONE shuffle. repartitionByRange(key) satisfies
+    // the window's ClusteredDistribution, so batch-dedup + target-merge run
+    // in a single exchange, and the output files come out range-clustered by
+    // key (tight min/max → effective pruning on the next merge).
+    import org.apache.spark.sql.expressions.Window
+    val unioned = target.unionByName(src)
+      .repartitionByRange(col("repo"), col("path"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_lsn").desc, col("__tie").desc)
+    val merged = unioned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__tie", "__isTarget")
 
-      val out = merged.drop("__tie", "__isTarget")
+    // ---- write new data files ----
+    val newDir = s"${log.dataDir}/v${snap.version + 1}-b$batchId"
+    timed("merge-write")(merged
+      .write.mode("overwrite").option("compression", "zstd").parquet(newDir))
 
-      // ---- write new data files (range-clustered by key for tight pruning) ----
-      val newDir = s"${log.dataDir}/v${snap.version + 1}-b$batchId"
-      out.repartitionByRange(col("repo"), col("path"))
-        .sortWithinPartitions("repo", "path")
-        .write.mode("overwrite").option("compression", "zstd").parquet(newDir)
+    val newFiles = timed("footer-stats")(LakeTable.footerStats(spark, newDir))
 
-      val newFiles = spark.read.parquet(newDir)
-        .groupBy(input_file_name().as("__f"))
-        .agg(count(lit(1)).as("rows"), min("repo").as("minRepo"), max("repo").as("maxRepo"))
-        .collect()
-        .map(r => DataFileEntry(r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
-        .toSeq
+    val next = Snapshot(
+      version = snap.version + 1,
+      schema = schema,
+      addedAtLsn = addedAt,
+      files = snap.files.filterNot(f => touched.contains(f.path)) ++ newFiles,
+      appliedBatches = snap.appliedBatches + ((epoch, batchId)),
+      parent = snap.version)
+    log.commit(next)
 
-      val dd = deduped.agg(count(lit(1)), sum(when(col("op") === "delete", 1L).otherwise(0L))).collect()(0)
-      val dedupedCnt = dd.getLong(0)
-      val delWinners = if (dd.isNullAt(1)) 0L else dd.getLong(1)
-      val eventsSeen = obs.get("n").asInstanceOf[Long]
+    MergeStats(epoch, batchId, next.version,
+      eventsSeen = eventsSeen + scRows.length,
+      duplicatesDropped = eventsSeen - distinctKeys,
+      upserts = distinctKeys - deleteWinners,
+      deletes = deleteWinners,
+      schemaChanges = scApplied,
+      noOp = false)
+  }
 
-      val next = Snapshot(
-        version = snap.version + 1,
-        schema = schema,
-        addedAtLsn = addedAt,
-        files = snap.files.filterNot(f => touched.contains(f.path)) ++ newFiles,
-        appliedBatches = snap.appliedBatches + ((epoch, batchId)),
-        parent = snap.version)
-      log.commit(next)
+  /** Bin-pack data files and expire old tombstones.
+    *
+    * Copy-on-write merges leave one file set per touched range per batch;
+    * compaction rewrites the whole table range-clustered at
+    * `targetRowsPerFile`. Tombstones with `_lsn <= tombstoneWatermark` are
+    * dropped — safe once the event source guarantees no event with a smaller
+    * LSN can still arrive (e.g. checkpoint high-water mark minus max
+    * lateness); newer tombstones are retained for late-duplicate protection.
+    */
+  def compact(targetRowsPerFile: Long = 1000000L,
+              tombstoneWatermark: Option[Long] = None): Snapshot = {
+    val snap = head()
+    val all = readStored(snap, snap.files.map(_.path))
+    val kept = tombstoneWatermark match {
+      case Some(wm) => all.filter(!col("_deleted") || col("_lsn") > wm)
+      case None => all
+    }
+    val totalRows = snap.files.map(_.rows).sum
+    val nParts = math.max(1, math.min(10000, totalRows / math.max(1L, targetRowsPerFile))).toInt
+    val newDir = s"${log.dataDir}/compact-v${snap.version + 1}"
+    kept.repartitionByRange(nParts, col("repo"), col("path"))
+      .sortWithinPartitions("repo", "path")
+      .write.mode("overwrite").option("compression", "zstd").parquet(newDir)
+    val next = snap.copy(
+      version = snap.version + 1,
+      files = LakeTable.footerStats(spark, newDir),
+      parent = snap.version)
+    log.commit(next)
+    next
+  }
 
-      MergeStats(epoch, batchId, next.version,
-        eventsSeen = eventsSeen + scRows.length,
-        duplicatesDropped = eventsSeen - dedupedCnt,
-        upserts = dedupedCnt - delWinners,
-        deletes = delWinners,
-        schemaChanges = scApplied,
-        noOp = false)
-    } finally deduped.unpersist()
+  /** Expire snapshots older than the last `keepLast`, deleting their metadata
+    * and any data files no surviving snapshot references (GC).
+    */
+  def expireSnapshots(keepLast: Int = 2): Unit = {
+    require(keepLast >= 1)
+    val latest = log.latestVersion().getOrElse(return)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keepVersions = (math.max(0L, latest - keepLast + 1) to latest)
+    val live: Set[String] = keepVersions.flatMap(v => log.read(v).files.map(_.path)).toSet
+    // drop old metadata
+    (0L until math.max(0L, latest - keepLast + 1)).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"meta/v$v.json"), false)
+    }
+    // GC unreferenced data files
+    val dataPath = new org.apache.hadoop.fs.Path(log.dataDir)
+    if (fs.exists(dataPath)) {
+      for (dir <- fs.listStatus(dataPath); f <- fs.listStatus(dir.getPath)
+           if f.getPath.getName.endsWith(".parquet")
+           if !live.contains(f.getPath.toString)) {
+        fs.delete(f.getPath, false)
+      }
+    }
   }
 }
 
 object LakeTable {
+  /** Per-file (rows, min/max repo) from Parquet FOOTERS only — no data scan.
+    * Parquet's truncated binary stats stay valid bounds (truncated min is a
+    * prefix ≤ min; truncated max is incremented ≥ max), so pruning on them is
+    * safe. Driver-side loop is fine for O(100) files per commit; a 1000-file
+    * commit would distribute this with a flatMap over paths.
+    */
+  def footerStats(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[DataFileEntry] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(conf)
+    val files = fs.listStatus(d).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    files.toSeq.flatMap { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        if (rows == 0) None
+        else {
+          var minR: String = null
+          var maxR: String = null
+          for (b <- blocks; c <- b.getColumns.asScala
+               if c.getPath.toDotString == "repo") {
+            val st = c.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              val mn = new String(st.getMinBytes, "UTF-8")
+              val mx = new String(st.getMaxBytes, "UTF-8")
+              if (minR == null || mn < minR) minR = mn
+              if (maxR == null || mx > maxR) maxR = mx
+            }
+          }
+          // null stats (shouldn't happen for non-null key) → unbounded range
+          Some(DataFileEntry(p.toString, rows,
+            Option(minR).getOrElse(""), Option(maxR).getOrElse("￿")))
+        }
+      } finally reader.close()
+    }
+  }
+
   /** North-rule base schema (BASELINE.json input_hint). */
   val baseSchema: StructType = StructType(Seq(
     StructField("repo", StringType, nullable = false),

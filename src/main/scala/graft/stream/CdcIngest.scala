@@ -24,7 +24,7 @@ final class CdcIngest(
     checkpointDir: String,
     epoch: String = "run0",
     maxFilesPerTrigger: Int = 4,
-    saltBuckets: Int = 1,
+    saltBuckets: Int = 0,
     lineage: Option[Lineage] = None) {
 
   val table = new LakeTable(spark, tableRoot)
@@ -55,6 +55,7 @@ final class CdcIngest(
   def runToCompletion(): List[MergeStats] = {
     val q = start()
     q.awaitTermination()
+    lineage.foreach(_.flush())
     stats.reverse
   }
 }

@@ -10,14 +10,17 @@ import graft.lake.MergeStats
   * artifact/alert pattern (Borderlands src/borderlands/oryx.py:46-80).
   *
   * Long-form rows `(epoch, batch_id, metric, value)` so new counters never
-  * change the sidecar schema.
+  * change the sidecar schema. Rows are buffered in memory and flushed once
+  * per drain — a tiny single-task parquet write per BATCH would otherwise be
+  * pure serial time in the ingest loop (it cost ~15% of wall at bench scale).
   */
 final class Lineage(spark: SparkSession, root: String) {
   import spark.implicits._
   private val dir = s"$root/lineage"
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String, Long)]
 
-  def record(st: MergeStats): Unit = {
-    val rows = Seq(
+  def record(st: MergeStats): Unit = synchronized {
+    buf ++= Seq(
       ("eventsSeen", st.eventsSeen),
       ("duplicatesDropped", st.duplicatesDropped),
       ("upserts", st.upserts),
@@ -26,15 +29,22 @@ final class Lineage(spark: SparkSession, root: String) {
       ("snapshotVersion", st.version),
       ("noOp", if (st.noOp) 1L else 0L)
     ).map { case (m, v) => (st.epoch, st.batchId, m, v) }
-    rows.toDF("epoch", "batch_id", "metric", "value")
-      .coalesce(1).write.mode("append").parquet(dir)
   }
 
   def recordProgress(epoch: String, batchId: Long, durationMs: Long, inputRows: Long): Unit =
-    Seq((epoch, batchId, "batchDurationMs", durationMs),
-        (epoch, batchId, "inputRows", inputRows))
-      .toDF("epoch", "batch_id", "metric", "value")
-      .coalesce(1).write.mode("append").parquet(dir)
+    synchronized {
+      buf += ((epoch, batchId, "batchDurationMs", durationMs))
+      buf += ((epoch, batchId, "inputRows", inputRows))
+    }
+
+  /** Write buffered rows and clear the buffer. */
+  def flush(): Unit = synchronized {
+    if (buf.nonEmpty) {
+      buf.toSeq.toDF("epoch", "batch_id", "metric", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+      buf.clear()
+    }
+  }
 
   def read(): org.apache.spark.sql.DataFrame = spark.read.parquet(dir)
 

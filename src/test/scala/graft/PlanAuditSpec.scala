@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** Physical-plan audits: the plans we ship must be the plans we'd want at
+  * 100 TB — filters pushed to the parquet scan, column pruning at the reader,
+  * small dimensions broadcast, codegen unbroken.
+  */
+class PlanAuditSpec extends SparkSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("filter + projection push down to the parquet scan") {
+    val df = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), plan)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+  }
+
+  test("corrections join broadcasts the dimension side (J2)") {
+    val plan = formatted(Queries.correctionsJoin(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("cross-page dedup broadcasts the tiny to_replace set (J1)") {
+    val plan = formatted(Queries.crossPageDedup(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("fused MERGE plan has exactly one exchange for dedup+merge+clustering") {
+    // reproduce the merge's core plan shape on a standalone union
+    import spark.implicits._
+    val src = Seq(("r1", "a", 1L, 0L), ("r1", "a", 2L, 0L), ("r2", "b", 3L, 0L))
+      .toDF("repo", "path", "_lsn", "__tie")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("repo"), col("path"))
+      .orderBy(col("_lsn").desc, col("__tie").desc)
+    val merged = src.repartitionByRange(col("repo"), col("path"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    val plan = merged.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"expected the range exchange to satisfy the window's clustering; got $exchanges:\n$plan")
+  }
+
+  test("dedupLastWinsAgg gets map-side partial aggregation") {
+    import spark.implicits._
+    val df = Seq(("k1", 1L, "a"), ("k1", 2L, "b")).toDF("k", "lsn", "v")
+    val out = graft.kernel.ChangeOps.dedupLastWinsAgg(df, Seq("k"), Seq(col("lsn")))
+    val plan = out.queryExecution.executedPlan.toString
+    // a partial_max_by below the exchange = map-side combine (struct-typed
+    // buffer → Spark picks SortAggregate, partial phase still present)
+    assert(plan.contains("partial_max_by"), plan)
+  }
+
+  test("scalar text ops stay in one whole-stage codegen span") {
+    val df = Tables.documents(spark, sf).select(
+      graft.ops.TextOps.tokenCountWs(col("text")),
+      sha2(col("text"), 256),
+      graft.functions.SimHash64.simhash64(graft.ops.TextOps.wordTokens(col("text"))))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan) // single codegen stage over the scan
+  }
+}

@@ -43,7 +43,7 @@ class ChangeOpsSpec extends SparkSuite {
         k -> rs.maxBy(r => (r._2, r._3))._4
       }
       val shuffle = new scala.util.Random(trial)
-      for (variant <- Seq(rows, shuffle.shuffle(rows)); salt <- Seq(1, 7)) {
+      for (variant <- Seq(rows, shuffle.shuffle(rows)); salt <- Seq(0, 1, 7)) {
         val df = variant.toDF("k", "lsn", "tie", "v").repartition(5)
         val got = Salting.dedupSalted(df, Seq("k"), Seq(col("lsn"), col("tie")), salt)
           .select("k", "v").as[(String, String)].collect().toMap
