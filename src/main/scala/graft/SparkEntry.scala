@@ -405,15 +405,20 @@ object Queries {
     graft.ops.DedupOps.exactDedup(documents(s, d), "text", "doc_id")
       .select("doc_id", "lang", "source")
 
+  /** The synthetic corpus draws from a ~30-word vocabulary, so LSH buckets
+    * degenerate; the cap bounds the quadratic step (real corpora shingle far
+    * more diversely — the cap is the standard guard either way).
+    */
   def minhashPairsQ(s: SparkSession, d: String): DataFrame =
-    graft.ops.DedupOps.minhashLshPairs(documents(s, d), "text", "doc_id", threshold = 0.3)
+    graft.ops.DedupOps.minhashLshPairs(documents(s, d), "text", "doc_id",
+      threshold = 0.3, maxBucket = 256)
 
   def simhashPairsQ(s: SparkSession, d: String): DataFrame =
     graft.ops.DedupOps.simhashPairs(documents(s, d), "text", "doc_id", maxHamming = 10)
 
   def ngramJaccardQ(s: SparkSession, d: String): DataFrame =
     graft.ops.DedupOps.ngramJaccardPairs(documents(s, d), "text", "doc_id",
-      shingleK = 3, threshold = 0.3)
+      shingleK = 3, threshold = 0.3, maxBucket = 256)
 
   /** Word-set Jaccard within (lang, source) blocks — the oracle-checkable
     * exact-similarity variant (blocked self-join, no hash functions).
