@@ -123,8 +123,8 @@ object Bench {
       val runSmallPair = sys.env.getOrElse("GRAFT_BENCH_SMALL", "1") == "1"
       val ((eps2, st2), (eps8s, st8s)) =
         if (runSmallPair)
-          (ingestAt(2, s"$work/eventsSmall", smallN, 1),
-           ingestAt(8, s"$work/eventsSmall", smallN, 1))
+          (ingestAt(2, s"$work/eventsSmall", smallN, cdcRepeats),
+           ingestAt(8, s"$work/eventsSmall", smallN, cdcRepeats))
         else ((0.0, 0.0), (0.0, 0.0))
       val (eps8, st8) = ingestAt(8, s"$work/events", bigN, cdcRepeats)
       val (eps32, st32) = ingestAt(32, s"$work/events", bigN, cdcRepeats)
