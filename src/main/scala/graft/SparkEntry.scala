@@ -413,8 +413,12 @@ object Queries {
     graft.ops.DedupOps.minhashLshPairs(documents(s, d), "text", "doc_id",
       threshold = 0.3, maxBucket = 256)
 
+  /** 8×8 banding guarantees candidate recall for Hamming ≤ 7 (pigeonhole);
+    * the query threshold matches the guaranteed bound — no silent recall gap.
+    */
   def simhashPairsQ(s: SparkSession, d: String): DataFrame =
-    graft.ops.DedupOps.simhashPairs(documents(s, d), "text", "doc_id", maxHamming = 10)
+    graft.ops.DedupOps.simhashPairs(documents(s, d), "text", "doc_id",
+      maxHamming = 7, bands = 8)
 
   def ngramJaccardQ(s: SparkSession, d: String): DataFrame =
     graft.ops.DedupOps.ngramJaccardPairs(documents(s, d), "text", "doc_id",

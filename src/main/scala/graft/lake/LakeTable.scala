@@ -93,7 +93,7 @@ final class LakeTable(spark: SparkSession, val root: String) {
     }
   }
 
-  def merge(batch: DataFrame, epoch: String, batchId: Long, saltBuckets: Int = 1): MergeStats = {
+  def merge(batch: DataFrame, epoch: String, batchId: Long, saltBuckets: Int = 0): MergeStats = {
     val snap = head()
     if (snap.appliedBatches.contains((epoch, batchId))) {
       return MergeStats(epoch, batchId, snap.version, 0, 0, 0, 0, 0, noOp = true)

@@ -56,6 +56,11 @@ object DedupOps {
   /** MinHash LSH candidate pairs with estimated Jaccard ≥ `threshold`.
     * bands × rowsPerBand = numHashes; est = fraction of matching signature
     * positions. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    *
+    * The signature frame is cached for its three uses (banding + two payload
+    * re-joins), the small pair result is materialized eagerly
+    * (localCheckpoint), and the cache is released before returning — no
+    * cached blocks leak across queries in a long-lived session.
     */
   def minhashLshPairs(
       df: DataFrame, textCol: String, idCol: String,
@@ -88,33 +93,53 @@ object DedupOps {
       .join(sig.select(col("__id").as("id_b"), col("__sig").as("__sig_b")), "id_b")
     val est = size(filter(zip_with(col("__sig_a"), col("__sig_b"), (x, y) => x === y),
       m => m)).cast("double") / numHashes
-    withSigs.withColumn("est_jaccard", round(est, 4))
+    val out = withSigs.withColumn("est_jaccard", round(est, 4))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
+      .localCheckpoint()
+    sig.unpersist()
+    out
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprint (native Catalyst expression),
-    * banded into 4×16-bit keys — Hamming distance ≤ 3 guarantees at least one
-    * equal band (pigeonhole) — then exact Hamming ≤ `maxHamming` on
-    * candidates via bit_count(xor).
+    * banded into `bands` equal-width bit slices — by pigeonhole, any pair at
+    * Hamming distance ≤ bands-1 shares at least one identical band, so the
+    * candidate stage has GUARANTEED recall for `maxHamming < bands` — then
+    * exact Hamming ≤ `maxHamming` on candidates via bit_count(xor).
+    *
+    * The recall/bucket-width dial: more bands → narrower band keys (64/bands
+    * bits) → coarser buckets → more candidate pairs. `require` enforces the
+    * contract instead of silently returning an incomplete pair set. Pairs are
+    * generated on bare ids; fingerprints re-join only on the deduped pair set.
     */
   def simhashPairs(
       df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming < bands,
+      s"banding guarantees recall only for hamming < bands: maxHamming=$maxHamming needs > $maxHamming bands")
+    val width = 64 / bands
+    val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
     val sig = df.select(col(idCol).as("__id"),
       simhash64(TextOps.wordTokens(col(textCol))).as("__sim"))
       .persist()
-    val banded = sig.select(col("__id"), col("__sim"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("__sim"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+    val banded = sig.select(col("__id"),
+      posexplode(array((0 until bands).map(i =>
+        shiftrightunsigned(col("__sim"), i * width).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
-    val a = banded.select(col("__band"), col("__bucket"), col("__id").as("id_a"), col("__sim").as("__sim_a"))
-    val b = banded.select(col("__band"), col("__bucket"), col("__id").as("id_b"), col("__sim").as("__sim_b"))
-    a.join(b, Seq("__band", "__bucket")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val a = banded.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
+    val b = banded.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
+    val pairs = a.join(b, Seq("__band", "__bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val out = pairs
+      .join(sig.select(col("__id").as("id_a"), col("__sim").as("__sim_a")), "id_a")
+      .join(sig.select(col("__id").as("id_b"), col("__sim").as("__sim_b")), "id_b")
       .withColumn("hamming", bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .localCheckpoint()
+    sig.unpersist()
+    out
   }
 
   /** Exact n-gram Jaccard for pairs sharing an LSH bucket: the verification
@@ -139,17 +164,24 @@ object DedupOps {
   }
 
   /** Embedding-cosine near-dup pairs via sign-LSH bucketing; exact cosine on
-    * candidates only (see Similarity.cosine).
+    * candidates only (see Similarity.cosine). Pairing runs on bare 8-byte ids
+    * — a degenerate bucket goes quadratic in ids, not in vector payload — and
+    * the (small) deduped candidate set re-joins the vectors for scoring.
     */
   def embeddingNearDupPairs(
       df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.95, planes: Int = 12, tables: Int = 8,
       seed: Long = 42L): DataFrame = {
+    val vecs = df.select(col(idCol).as("__id"),
+      Similarity.asDoubleVec(col(vecCol)).as("__v"))
     val bucketed = Similarity.signBucketsMulti(df, vecCol, idCol, planes, tables, seed)
-    val a = bucketed.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("__va"))
-    val b = bucketed.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("__vb"))
-    a.join(b, Seq("__bucket")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val a = bucketed.select(col("__bucket"), col("__id").as("id_a"))
+    val b = bucketed.select(col("__bucket"), col("__id").as("id_b"))
+    val pairs = a.join(b, Seq("__bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    pairs
+      .join(vecs.select(col("__id").as("id_a"), col("__v").as("__va")), "id_a")
+      .join(vecs.select(col("__id").as("id_b"), col("__v").as("__vb")), "id_b")
       .withColumn("cosine", round(Similarity.cosine(col("__va"), col("__vb")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

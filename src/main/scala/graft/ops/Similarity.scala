@@ -25,7 +25,23 @@ object Similarity {
     dot / (na * nb)
   }
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Cast an array<float>/array<numeric> embedding to array<double>. */
+  def asDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
+  private def asDouble(c: Column): Column = asDoubleVec(c)
+
+  /** Embedding width, probed from the first row (schemas carry no fixed
+    * array length). One tiny driver action per plan build — metadata only,
+    * never a data-row collect. Rows whose width disagrees with the probe are
+    * rejected by [[filterDim]] rather than silently mis-projected.
+    */
+  def embeddingDim(df: DataFrame, vecCol: String): Int = {
+    val head = df.select(size(col(vecCol)).as("__d")).limit(1).collect()
+    require(head.nonEmpty, s"cannot infer embedding dim of $vecCol: empty input")
+    head(0).getInt(0)
+  }
+
+  private def filterDim(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    df.filter(size(col(vecCol)) === dim)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Query side must be small (broadcast).
@@ -53,10 +69,12 @@ object Similarity {
     Array.fill(planes, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-LSH bucket id per row: bit i = sign(v · plane_i). */
+  /** Sign-LSH bucket id per row: bit i = sign(v · plane_i). Dim is probed
+    * from the data; rows of any other width are rejected (not truncated).
+    */
   def signBuckets(df: DataFrame, vecCol: String, idCol: String,
                   planes: Int, seed: Long): DataFrame = {
-    val dim = 64 // embeddings fixture dim; parameterize when schemas vary
+    val dim = embeddingDim(df, vecCol)
     val hp = hyperplanes(planes, dim, seed)
     val v = asDouble(col(vecCol))
     val bits = (0 until planes).map { p =>
@@ -64,7 +82,7 @@ object Similarity {
       val dot = aggregate(zip_with(v, w, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
-    df.select(col(idCol).as("__id"), v.as("__v"),
+    filterDim(df, vecCol, dim).select(col(idCol).as("__id"), v.as("__v"),
       bits.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("__bucket"))
   }
 
@@ -76,7 +94,7 @@ object Similarity {
     */
   def signBucketsMulti(df: DataFrame, vecCol: String, idCol: String,
                        planes: Int, tables: Int, seed: Long): DataFrame = {
-    val dim = 64
+    val dim = embeddingDim(df, vecCol)
     val v = asDouble(col(vecCol))
     val bucketCols = (0 until tables).map { t =>
       val hp = hyperplanes(planes, dim, seed + 1000L * t)
@@ -88,7 +106,8 @@ object Similarity {
       bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
         .bitwiseOR(lit(t.toLong << 32)).as(s"__b$t")
     }
-    df.select(col(idCol).as("__id"), v.as("__v"), array(bucketCols: _*).as("__buckets"))
+    filterDim(df, vecCol, dim)
+      .select(col(idCol).as("__id"), v.as("__v"), array(bucketCols: _*).as("__buckets"))
       .select(col("__id"), col("__v"), explode(col("__buckets")).as("__bucket"))
   }
 

@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace token count. */
+  /** Whitespace token count. Counts `\S+` matches rather than splitting —
+    * split("") yields [""] and would report 1 token for empty/blank text.
+    */
   def tokenCountWs(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
 
   /** BPE-ish subword token count: runs of letters, runs of digits, or single
     * non-space symbols — a cheap, deterministic proxy for tokenizer cost.

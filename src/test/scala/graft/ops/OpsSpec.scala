@@ -105,10 +105,38 @@ class DedupOpsSpec extends SparkSuite {
   }
 
   test("simhash pairs find near-dups, skip unrelated") {
-    val pairs = DedupOps.simhashPairs(docs, "text", "doc_id", maxHamming = 8)
+    val pairs = DedupOps.simhashPairs(docs, "text", "doc_id", maxHamming = 8, bands = 16)
       .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("simhash banding contract: maxHamming ≥ bands is rejected; mid-distance pair guaranteed at 8 bands") {
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashPairs(docs, "text", "doc_id", maxHamming = 10, bands = 4)
+    }
+    // adversarial fixture: deterministically search word-substituted variants
+    // of a base sentence for one whose simhash lands at Hamming distance 4-7
+    // from the base — the zone 4×16 banding only finds by luck but 8×8
+    // banding guarantees (pigeonhole: ≤7 differing bits over 8 bands leaves
+    // one band clean).
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val variants = (0 until 200).map(i => (i + 1).toLong -> base.replace("home", s"word$i"))
+    val all = (Seq(0L -> base) ++ variants).toDF("doc_id", "text")
+    val sims = all.select(col("doc_id"),
+      SimHash64.simhash64(TextOps.wordTokens(col("text"))).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val midId = sims.collectFirst {
+      case (id, s) if id != 0L && (4 to 7).contains(java.lang.Long.bitCount(s ^ sims(0L))) => id
+    }
+    assert(midId.nonEmpty, "fixture search found no distance-4..7 variant; widen the search")
+    val mid = midId.get
+    val dist = java.lang.Long.bitCount(sims(mid) ^ sims(0L))
+    val two = Seq(0L -> base, mid -> (base.replace("home", s"word${mid - 1}"))).toDF("doc_id", "text")
+    val got = DedupOps.simhashPairs(two, "text", "doc_id", maxHamming = 7, bands = 8)
+      .as[(Long, Long, Int)].collect()
+    assert(got.length === 1 && got(0)._3 === dist,
+      s"guaranteed pair at distance $dist missing: ${got.toSeq}")
   }
 
   test("ngram jaccard matches a hand-computed value") {
@@ -179,6 +207,22 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"recall=$recall") // 8 tables × 8 planes OR-amplified
     // every LSH result must be a real corpus neighbor of the query's bucket
     assert(lsh.forall { case (q, n) => q != n })
+  }
+
+  test("LSH derives embedding dim from the data (non-64-dim fixture) and rejects ragged rows") {
+    // 24-dim corpus: two identical vectors + one orthogonal-ish + one ragged
+    val a = Seq.fill(24)(1.0f)
+    val b = Seq.tabulate(24)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val ragged = Seq.fill(7)(1.0f)
+    val df = Seq((0L, a), (1L, a), (2L, b), (3L, ragged)).toDF("vec_id", "embedding")
+    assert(Similarity.embeddingDim(df, "embedding") === 24)
+    val pairs = DedupOps.embeddingNearDupPairs(df, "embedding", "vec_id",
+      threshold = 0.999, planes = 4, tables = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((0L, 1L)))
+    // ragged row neither crashes the projection nor appears in any bucket
+    val buckets = Similarity.signBucketsMulti(df, "embedding", "vec_id", 4, 2, 1L)
+    assert(buckets.filter(col("__id") === 3L).count() === 0)
   }
 }
 
