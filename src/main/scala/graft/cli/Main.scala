@@ -40,7 +40,7 @@ object Main {
 
     case "ingest" :: eventsDir :: tableRoot :: cp :: rest =>
       val spark = session()
-      val salt = rest.headOption.map(_.toInt).getOrElse(1)
+      val salt = rest.headOption.map(_.toInt).getOrElse(0)
       val epoch = rest.drop(1).headOption.getOrElse("run0")
       val lin = new Lineage(spark, tableRoot)
       spark.streams.addListener(lin.listener(epoch))
@@ -76,7 +76,7 @@ object Main {
       val t = new LakeTable(spark, tableRoot)
       val snap = t.head()
       println(s"version=${snap.version} files=${snap.files.size} " +
-        s"rows=${snap.files.map(_.rows).sum} applied=${snap.appliedBatches.size}")
+        s"rows=${snap.files.map(_.rows).sum} applied=${snap.ledger.size}")
       println(snap.schema.treeString)
       t.read().orderBy(col("repo"), col("path")).show(10, 60)
       spark.stop()

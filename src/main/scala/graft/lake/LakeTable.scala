@@ -43,7 +43,7 @@ final class LakeTable(spark: SparkSession, val root: String) {
 
   def create(baseSchema: StructType): Unit = {
     if (log.latestVersion().isEmpty)
-      log.commit(Snapshot(0L, baseSchema, Map.empty, Seq.empty, Set.empty, -1L))
+      log.commit(Snapshot(0L, baseSchema, Map.empty, Seq.empty, BatchLedger.empty, -1L))
   }
 
   def head(): Snapshot = log.head().getOrElse(
@@ -95,7 +95,7 @@ final class LakeTable(spark: SparkSession, val root: String) {
 
   def merge(batch: DataFrame, epoch: String, batchId: Long, saltBuckets: Int = 0): MergeStats = {
     val snap = head()
-    if (snap.appliedBatches.contains((epoch, batchId))) {
+    if (snap.ledger.contains(epoch, batchId)) {
       return MergeStats(epoch, batchId, snap.version, 0, 0, 0, 0, 0, noOp = true)
     }
 
@@ -173,18 +173,22 @@ final class LakeTable(spark: SparkSession, val root: String) {
       col("event_id").as("__tie"),
       lit(false).as("__isTarget")): _*)
 
-    // ---- file pruning: touch only files whose repo range meets batch keys
-    // (reuses the cached narrow key agg — no extra input scan) ----
+    // ---- file pruning: touch only files whose (repo, path) bounding box
+    // meets a batch key. A broadcast interval index probed map-side per
+    // distinct key (O(log files + hits) each) — not a join at all, so no
+    // BroadcastNestedLoopJoin and no O(keys × files) predicate sweep.
+    // Reuses the cached narrow key agg — no extra input scan. ----
     val touched: Set[String] = timed("prune")(
       if (snap.files.isEmpty) Set.empty
       else {
+        val index = spark.sparkContext.broadcast(PruneIndex(snap.files))
         import spark.implicits._
-        val manifest = snap.files.map(f => (f.path, f.minRepo, f.maxRepo))
-          .toDF("__file", "__minRepo", "__maxRepo")
-        keyAgg.select(col("repo")).distinct()
-          .join(broadcast(manifest),
-            col("repo") >= col("__minRepo") && col("repo") <= col("__maxRepo"))
-          .select("__file").distinct().collect().map(_.getString(0)).toSet
+        // schema_change events carry null keys — nothing to prune against
+        keyAgg.select(col("repo"), col("path"))
+          .filter(col("repo").isNotNull && col("path").isNotNull)
+          .as[(String, String)]
+          .mapPartitions(it => it.flatMap { case (r, p) => index.value.lookup(r, p) })
+          .distinct().collect().toSet
       })
     keyAgg.unpersist()
 
@@ -217,7 +221,7 @@ final class LakeTable(spark: SparkSession, val root: String) {
       schema = schema,
       addedAtLsn = addedAt,
       files = snap.files.filterNot(f => touched.contains(f.path)) ++ newFiles,
-      appliedBatches = snap.appliedBatches + ((epoch, batchId)),
+      ledger = snap.ledger.add(epoch, batchId),
       parent = snap.version)
     log.commit(next)
 
@@ -271,10 +275,11 @@ final class LakeTable(spark: SparkSession, val root: String) {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val keepVersions = (math.max(0L, latest - keepLast + 1) to latest)
     val live: Set[String] = keepVersions.flatMap(v => log.read(v).files.map(_.path)).toSet
-    // drop old metadata
+    // drop old metadata, then manifests no surviving snapshot references
     (0L until math.max(0L, latest - keepLast + 1)).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"meta/v$v.json"), false)
     }
+    log.gcManifests(keepVersions)
     // GC unreferenced data files
     val dataPath = new org.apache.hadoop.fs.Path(log.dataDir)
     if (fs.exists(dataPath)) {
@@ -288,44 +293,106 @@ final class LakeTable(spark: SparkSession, val root: String) {
 }
 
 object LakeTable {
-  /** Per-file (rows, min/max repo) from Parquet FOOTERS only — no data scan.
-    * Parquet's truncated binary stats stay valid bounds (truncated min is a
-    * prefix ≤ min; truncated max is incremented ≥ max), so pruning on them is
-    * safe. Driver-side loop is fine for O(100) files per commit; a 1000-file
-    * commit would distribute this with a flatMap over paths.
+
+  /** UTF-8 unsigned lexicographic comparison — the order Parquet uses for
+    * binary stats AND the order Spark's UTF8String sorts by. Java String
+    * compareTo (UTF-16 code units) disagrees for supplementary-plane chars,
+    * which is why all pruning comparisons run through here.
     */
-  def footerStats(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[DataFileEntry] = {
+  private[lake] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def isAscii(bytes: Array[Byte]): Boolean = bytes.forall(b => b >= 0)
+
+  /** Min/max of one string column across a footer's blocks, as unsigned-byte
+    * bounds. Returns None (unbounded) when stats are missing or non-ASCII:
+    * for ASCII, UTF-8 byte order and JVM string order coincide, so the
+    * downstream comparisons are exact; a non-ASCII (or truncation-incremented,
+    * possibly invalid-UTF-8) stat is treated as no-bound rather than risking
+    * an inverted range that silently skips a file holding the key.
+    */
+  private def columnBounds(
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      column: String): (Option[String], Option[String]) = {
     import scala.jdk.CollectionConverters._
+    var minB: Array[Byte] = null
+    var maxB: Array[Byte] = null
+    var unbounded = false
+    for (b <- blocks; c <- b.getColumns.asScala if c.getPath.toDotString == column) {
+      val st = c.getStatistics
+      if (st == null || !st.hasNonNullValue) unbounded = true
+      else {
+        val mn = st.getMinBytes; val mx = st.getMaxBytes
+        if (minB == null || unsignedLt(mn, minB)) minB = mn
+        if (maxB == null || unsignedLt(maxB, mx)) maxB = mx
+      }
+    }
+    if (unbounded || minB == null) (None, None)
+    else (
+      if (isAscii(minB)) Some(new String(minB, "UTF-8")) else None,
+      if (isAscii(maxB)) Some(new String(maxB, "UTF-8")) else None)
+  }
+
+  private def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  private def statsOfFile(
+      conf: org.apache.hadoop.conf.Configuration, path: String): Option[DataFileEntry] = {
+    import scala.jdk.CollectionConverters._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      if (rows == 0) None
+      else {
+        val (minR, maxR) = columnBounds(blocks, "repo")
+        val (minP, maxP) = columnBounds(blocks, "path")
+        Some(DataFileEntry(path, rows, minR, maxR, minP, maxP))
+      }
+    } finally reader.close()
+  }
+
+  /** Per-file (rows, repo/path bounding box) from Parquet FOOTERS only — no
+    * data scan. Small commits read footers on the driver (no job overhead);
+    * beyond `distributeThreshold` files the footer reads fan out to executors
+    * and only the tiny stat tuples come back — a 10^4-file commit stops being
+    * a serial driver loop.
+    */
+  def footerStats(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  distributeThreshold: Int = 128): Seq[DataFileEntry] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val d = new org.apache.hadoop.fs.Path(dir)
     val fs = d.getFileSystem(conf)
     val files = fs.listStatus(d).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    files.toSeq.flatMap { p =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        val blocks = reader.getFooter.getBlocks.asScala.toSeq
-        val rows = blocks.map(_.getRowCount).sum
-        if (rows == 0) None
-        else {
-          var minR: String = null
-          var maxR: String = null
-          for (b <- blocks; c <- b.getColumns.asScala
-               if c.getPath.toDotString == "repo") {
-            val st = c.getStatistics
-            if (st != null && st.hasNonNullValue) {
-              val mn = new String(st.getMinBytes, "UTF-8")
-              val mx = new String(st.getMaxBytes, "UTF-8")
-              if (minR == null || mn < minR) minR = mn
-              if (maxR == null || mx > maxR) maxR = mx
-            }
-          }
-          // null stats (shouldn't happen for non-null key) → unbounded range
-          Some(DataFileEntry(p.toString, rows,
-            Option(minR).getOrElse(""), Option(maxR).getOrElse("￿")))
-        }
-      } finally reader.close()
+      .map(p => fs.makeQualified(p).toString).toSeq
+    if (files.size <= distributeThreshold)
+      files.flatMap(p => statsOfFile(conf, p))
+    else {
+      val serConf = new org.apache.spark.SerializableWritable(conf)
+      val slices = math.min(files.size, spark.sparkContext.defaultParallelism * 2)
+      spark.sparkContext.parallelize(files, slices)
+        .flatMap(p => statsOfFile(serConf.value, p))
+        .collect().toSeq.sortBy(_.path)
     }
   }
 

@@ -7,37 +7,81 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.json4s.JsonDSL._
 
+/** Idempotence ledger: which (epoch, batchId) merges have been applied.
+  *
+  * Streaming batchIds per epoch are contiguous from 0, so the ledger is a
+  * per-epoch high-water mark plus a (normally empty) out-of-order spill set —
+  * O(epochs) bytes instead of O(batches) (SURVEY §7.2: at the 10^10 design
+  * point a per-pair set re-serialized on every commit is O(n²) cumulative
+  * metadata cost).
+  */
+final case class BatchLedger(hwm: Map[String, Long], sparse: Set[(String, Long)]) {
+  def contains(epoch: String, batchId: Long): Boolean =
+    hwm.get(epoch).exists(batchId <= _) || sparse((epoch, batchId))
+
+  def add(epoch: String, batchId: Long): BatchLedger = {
+    if (contains(epoch, batchId)) this
+    else {
+      var h = hwm.getOrElse(epoch, -1L)
+      var sp = sparse + ((epoch, batchId))
+      while (sp((epoch, h + 1))) { sp -= ((epoch, h + 1)); h += 1 }
+      BatchLedger(hwm + (epoch -> h), sp)
+    }
+  }
+
+  def size: Long = hwm.values.map(_ + 1).sum + sparse.size
+}
+
+object BatchLedger { val empty: BatchLedger = BatchLedger(Map.empty, Set.empty) }
+
 /** One committed version of a lake table.
   *
-  * @param version        monotonically increasing snapshot id
-  * @param schema         user-visible schema (storage adds `_lsn`,`_deleted`)
-  * @param addedAtLsn     column name -> lsn of the schema_change that added it
-  *                       (absent for base columns); gates extra-payload parsing
-  *                       so replay is invariant to batch splits
-  * @param files          data files owned by this snapshot
-  * @param appliedBatches idempotence ledger: (runEpoch, batchId) already merged;
-  *                       replaying one is a no-op (exactly-once under retry)
+  * @param version    monotonically increasing snapshot id
+  * @param schema     user-visible schema (storage adds `_lsn`,`_deleted`)
+  * @param addedAtLsn column name -> lsn of the schema_change that added it
+  *                   (absent for base columns); gates extra-payload parsing
+  *                   so replay is invariant to batch splits
+  * @param files      data files owned by this snapshot (resolved from
+  *                   manifest files on read; persisted as manifest refs)
+  * @param ledger     idempotence ledger: replaying an applied batch is a
+  *                   no-op (exactly-once under retry)
   */
 final case class Snapshot(
     version: Long,
     schema: StructType,
     addedAtLsn: Map[String, Long],
     files: Seq[DataFileEntry],
-    appliedBatches: Set[(String, Long)],
+    ledger: BatchLedger,
     parent: Long)
 
-/** Manifest entry with per-file key-range stats for file pruning. */
-final case class DataFileEntry(path: String, rows: Long, minRepo: String, maxRepo: String)
+/** Manifest entry with per-file key-range stats for file pruning.
+  * Bounds are Options: None = unbounded on that side (stat missing, or
+  * non-ASCII where Parquet's unsigned-UTF-8 stat order and JVM string order
+  * could disagree — see LakeTable.footerStats).
+  */
+final case class DataFileEntry(
+    path: String, rows: Long,
+    minRepo: Option[String], maxRepo: Option[String],
+    minPath: Option[String], maxPath: Option[String])
 
 /** From-scratch Iceberg-style snapshot log over any Hadoop FileSystem.
   *
-  * Layout: `<root>/meta/v{N}.json`; commit point = atomic create-no-overwrite
-  * rename of a temp file to `v{N+1}.json` (two writers racing on the same
-  * version: exactly one rename succeeds). Readers list `meta/` and take the
-  * max version — no mutable HEAD pointer, so no non-atomic overwrite anywhere.
-  * Generalizes the reference's fixed "latest release" pointer
-  * (Borderlands src/borderlands/paths.py:16-18) into a versioned, idempotent
-  * commit protocol (SURVEY.md §7.2).
+  * Layout: `<root>/meta/v{N}.json` (snapshot) + `<root>/meta/m{N}-{i}.json`
+  * (manifests, immutable groups of data-file entries). A snapshot stores
+  * manifest REFERENCES: each commit writes one manifest for its added files,
+  * carries unchanged manifests forward by reference, and rewrites only the
+  * manifests that lost files — commit metadata is O(changed files + epochs),
+  * not O(table files), which is what survives 10^5+ commits
+  * (Iceberg spec v2 has the same added/existing-manifest split).
+  *
+  * Commit point: on `file:` schemes an atomic hard link (create-no-overwrite;
+  * two writers racing on the same version → exactly one link(2) succeeds);
+  * on other filesystems an existence check + rename (HDFS rename won't
+  * overwrite; object stores would need a conditional put — single writer
+  * assumed there). Readers list `meta/` and take the max version — no
+  * mutable HEAD pointer. Generalizes the reference's fixed "latest release"
+  * pointer (Borderlands src/borderlands/paths.py:16-18) into a versioned,
+  * idempotent commit protocol (SURVEY.md §7.2).
   */
 final class SnapshotLog(spark: SparkSession, root: String) {
   private val metaDir = new Path(root, "meta")
@@ -56,56 +100,165 @@ final class SnapshotLog(spark: SparkSession, root: String) {
   def head(): Option[Snapshot] = latestVersion().map(read)
 
   def read(version: Long): Snapshot = {
-    val p = new Path(metaDir, s"v$version.json")
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val txt = readText(new Path(metaDir, s"v$version.json"))
     parseSnapshot(txt)
   }
 
+  /** Manifest refs of a snapshot version (for GC). */
+  private def manifestRefs(version: Long): Seq[String] = {
+    implicit val fmt: Formats = DefaultFormats
+    val j = JsonMethods.parse(readText(new Path(metaDir, s"v$version.json")))
+    (j \ "manifests").extract[Seq[String]]
+  }
+
+  private def readText(p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  // immutable manifests → a tiny in-memory cache spares re-reads across
+  // commits within one writer process
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFileEntry]]()
+
+  private def readManifest(name: String): Seq[DataFileEntry] = {
+    manifestCache.computeIfAbsent(name, { n =>
+      implicit val fmt: Formats = DefaultFormats
+      val j = JsonMethods.parse(readText(new Path(metaDir, n)))
+      (j \ "files").extract[Seq[JObject]].map(parseEntry)
+    })
+  }
+
+  private def writeManifest(name: String, entries: Seq[DataFileEntry]): Unit = {
+    val json: JObject = "files" -> entries.map(renderEntry)
+    val out = fs.create(new Path(metaDir, name), false)
+    try out.write(JsonMethods.compact(JsonMethods.render(json)).getBytes("UTF-8"))
+    finally out.close()
+    manifestCache.put(name, entries)
+  }
+
   /** Atomically publish `snap` as v{snap.version}. Throws if that version
-    * already exists (single-writer assumed; a retried driver re-reads HEAD
-    * and finds its batch in the ledger instead).
+    * already exists. Manifest delta vs the parent snapshot is computed here:
+    * added files → one new manifest; manifests with removed files →
+    * rewritten; untouched manifests → carried by reference.
     */
   def commit(snap: Snapshot): Unit = {
     fs.mkdirs(metaDir)
+    val parentManifests: Seq[String] =
+      if (snap.version == 0 || snap.parent < 0) Seq.empty
+      else manifestRefs(snap.parent)
+    val livePaths = snap.files.map(_.path).toSet
+    val byPath = snap.files.map(f => f.path -> f).toMap
+
+    var covered = Set.empty[String]
+    var refs = Vector.empty[String]
+    var rewriteIdx = 0
+    for (m <- parentManifests) {
+      val entries = readManifest(m)
+      val kept = entries.filter(e => livePaths.contains(e.path))
+      if (kept.size == entries.size) {
+        refs :+= m
+        covered ++= entries.map(_.path)
+      } else if (kept.nonEmpty) {
+        val name = s"m${snap.version}-r$rewriteIdx.json"
+        rewriteIdx += 1
+        writeManifest(name, kept)
+        refs :+= name
+        covered ++= kept.map(_.path)
+      } // all removed → dropped
+    }
+    val added = snap.files.filterNot(f => covered.contains(f.path)).map(f => byPath(f.path))
+    if (added.nonEmpty) {
+      val name = s"m${snap.version}-a.json"
+      writeManifest(name, added)
+      refs :+= name
+    }
+
     val tmp = new Path(metaDir, s".tmp-v${snap.version}-${java.util.UUID.randomUUID}.json")
     val out = fs.create(tmp, false)
-    try out.write(renderSnapshot(snap).getBytes("UTF-8")) finally out.close()
+    try out.write(renderSnapshot(snap, refs).getBytes("UTF-8")) finally out.close()
     val dest = new Path(metaDir, s"v${snap.version}.json")
-    if (!fs.rename(tmp, dest)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"commit conflict: ${dest} already exists (concurrent writer?)")
+    val linked =
+      if (tmp.toUri.getScheme == null || fs.getScheme == "file") {
+        // local fs: link(2) is atomic create-no-overwrite — racing writers
+        // on the same version cannot both win (POSIX rename would overwrite)
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(fs.makeQualified(dest).toUri.getPath),
+            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
+          fs.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            fs.delete(tmp, false)
+            throw new IllegalStateException(
+              s"commit conflict: $dest already exists (concurrent writer?)")
+        }
+      } else false
+    if (!linked) {
+      if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"commit conflict: $dest already exists (concurrent writer?)")
+      }
     }
   }
 
-  private def renderSnapshot(s: Snapshot): String = {
+  /** Delete manifests referenced by no surviving snapshot (paired with
+    * LakeTable.expireSnapshots' data-file GC).
+    */
+  def gcManifests(keepVersions: Seq[Long]): Unit = {
+    if (!fs.exists(metaDir)) return
+    val live = keepVersions.flatMap(manifestRefs).toSet
+    for (st <- fs.listStatus(metaDir);
+         n = st.getPath.getName
+         if n.startsWith("m") && n.endsWith(".json") && !live.contains(n)) {
+      fs.delete(st.getPath, false)
+      manifestCache.remove(n)
+    }
+  }
+
+  private def renderEntry(f: DataFileEntry): JObject =
+    ("path" -> f.path) ~ ("rows" -> f.rows) ~
+    ("minRepo" -> f.minRepo) ~ ("maxRepo" -> f.maxRepo) ~
+    ("minPath" -> f.minPath) ~ ("maxPath" -> f.maxPath)
+
+  private def parseEntry(f: JValue): DataFileEntry = {
+    implicit val fmt: Formats = DefaultFormats
+    def opt(field: String): Option[String] = (f \ field) match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+    DataFileEntry((f \ "path").extract[String], (f \ "rows").extract[Long],
+      opt("minRepo"), opt("maxRepo"), opt("minPath"), opt("maxPath"))
+  }
+
+  private def renderSnapshot(s: Snapshot, manifests: Seq[String]): String = {
     val json: JObject =
       ("version" -> s.version) ~
       ("parent" -> s.parent) ~
       ("schema" -> JsonMethods.parse(s.schema.json)) ~
       ("addedAtLsn" -> s.addedAtLsn) ~
-      ("appliedBatches" -> s.appliedBatches.toSeq.sorted.map { case (e, b) =>
+      ("ledgerHwm" -> s.ledger.hwm) ~
+      ("ledgerSparse" -> s.ledger.sparse.toSeq.sorted.map { case (e, b) =>
         ("epoch" -> e) ~ ("batchId" -> b) }) ~
-      ("files" -> s.files.map { f =>
-        ("path" -> f.path) ~ ("rows" -> f.rows) ~
-        ("minRepo" -> f.minRepo) ~ ("maxRepo" -> f.maxRepo) })
-    JsonMethods.pretty(JsonMethods.render(json))
+      ("manifests" -> manifests)
+    JsonMethods.compact(JsonMethods.render(json))
   }
 
   private def parseSnapshot(txt: String): Snapshot = {
     implicit val fmt: Formats = DefaultFormats
     val j = JsonMethods.parse(txt)
+    val ledger = BatchLedger(
+      (j \ "ledgerHwm").extract[Map[String, Long]],
+      (j \ "ledgerSparse").extract[Seq[JObject]]
+        .map(b => ((b \ "epoch").extract[String], (b \ "batchId").extract[Long])).toSet)
     Snapshot(
       version = (j \ "version").extract[Long],
       schema = DataType.fromJson(JsonMethods.compact(JsonMethods.render(j \ "schema")))
         .asInstanceOf[StructType],
       addedAtLsn = (j \ "addedAtLsn").extract[Map[String, Long]],
-      files = (j \ "files").extract[Seq[JObject]].map { f =>
-        DataFileEntry((f \ "path").extract[String], (f \ "rows").extract[Long],
-          (f \ "minRepo").extract[String], (f \ "maxRepo").extract[String]) },
-      appliedBatches = (j \ "appliedBatches").extract[Seq[JObject]]
-        .map(b => ((b \ "epoch").extract[String], (b \ "batchId").extract[Long])).toSet,
+      files = (j \ "manifests").extract[Seq[String]].flatMap(readManifest),
+      ledger = ledger,
       parent = (j \ "parent").extract[Long])
   }
 }

@@ -45,8 +45,11 @@ class CompactionSpec extends SparkSuite {
   test("expireSnapshots drops old metadata and GCs unreferenced files") {
     val t = new LakeTable(spark, tmpDir("expire"))
     t.create(LakeTable.baseSchema)
+    // updates to the SAME key: every merge must touch (and so rewrite) the
+    // previous file — with (repo,path) bounding-box pruning, disjoint keys
+    // would legitimately carry forward untouched and never become garbage
     for (i <- 0 until 4)
-      t.merge(batch(ev(i + 1, "insert", "r1", s"p$i", s"v$i")), "e", i)
+      t.merge(batch(ev(i + 1, if (i == 0) "insert" else "update", "r1", "p", s"v$i")), "e", i)
     val rowsBefore = t.read().count()
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     def countData(): Int = {
