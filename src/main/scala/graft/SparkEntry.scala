@@ -227,7 +227,112 @@ object SparkEntry {
         |  (1 + doc_id % 8)::INT AS n_frames,
         |  (16 + ((16 + doc_id % 64) * (16 + doc_id % 48) // 8) * (1 + doc_id % 8))::BIGINT AS n_bytes
         |FROM documents""".stripMargin,
+    "q_cdc_engine_e2e" ->
+      """WITH mapped AS (
+        |  SELECT 'r' || CAST(user_id % 25 AS VARCHAR) AS repo,
+        |    'p' || CAST(user_id AS VARCHAR) AS path,
+        |    event_id,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+        |    CAST(event_id AS VARCHAR) AS last_commit,
+        |    event_type AS lang, props AS content
+        |  FROM events)
+        |SELECT repo, path, last_commit, lang, content_sha FROM (
+        |  SELECT repo, path, last_commit, lang, op, sha256(content) AS content_sha,
+        |    row_number() OVER (PARTITION BY repo, path ORDER BY event_id DESC) AS rn
+        |  FROM mapped)
+        |WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+    "q_fingerprint" -> OracleGen.fingerprintSql(k = 8),
+    "q_minhash_dedup_pairs" -> OracleGen.minhashPairsSql(
+      numHashes = 32, bands = 8, shingleK = 3, maxBucket = 256, threshold = 0.3),
+    "q_ngram_jaccard" -> OracleGen.ngramJaccardSql(
+      numHashes = 32, bands = 8, shingleK = 3, maxBucket = 256, threshold = 0.3),
   )
+}
+
+/** DuckDB-SQL twins of the portable (sha256-hex) hash pipelines. Generated
+  * rather than hand-written: the chain/banding structure must track the Spark
+  * expressions in TextOps.fingerprintPortable and DedupOps.minhashSignature
+  * (portable=true) exactly — same window count, same slice bounds, same
+  * "i:" / "band|" key derivations, same hex-string min.
+  */
+private[graft] object OracleGen {
+
+  /** word tokens + k-shingles CTEs over `documents` (mirrors
+    * TextOps.wordTokens / TextOps.shingles).
+    */
+  private def shingleCtes(shingleK: Int): String =
+    s"""t AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |    x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws) - ${shingleK - 1}, 1)),
+       |    i -> array_to_string(ws[i + 1 : i + $shingleK], ' '))) AS sh
+       |  FROM t)""".stripMargin
+
+  /** signature + banded + capped + candidate-pairs CTEs (mirrors
+    * DedupOps.minhashSignature/minhashLshPairs with portable=true).
+    */
+  private def lshCtes(numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String = {
+    val rows = numHashes / bands
+    s"""${shingleCtes(shingleK)},
+       |sig AS (
+       |  SELECT doc_id, list_transform(range($numHashes), i ->
+       |    list_aggregate(list_transform(sh, s ->
+       |      substr(sha256(CAST(i AS VARCHAR) || ':' || substr(sha256(s), 1, 16)), 1, 16)),
+       |    'min')) AS sig
+       |  FROM sh),
+       |banded AS (
+       |  SELECT doc_id, band,
+       |    substr(sha256(CAST(band AS VARCHAR) || '|' ||
+       |      array_to_string(sig[band * $rows + 1 : band * $rows + $rows], ',')), 1, 16) AS bucket
+       |  FROM sig CROSS JOIN (SELECT unnest(range($bands)) AS band) bx),
+       |capped AS (
+       |  SELECT * FROM banded
+       |  QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) <= $maxBucket),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM capped a JOIN capped b USING (band, bucket)
+       |  WHERE a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  def minhashPairsSql(numHashes: Int, bands: Int, shingleK: Int,
+                      maxBucket: Int, threshold: Double): String =
+    s"""WITH ${lshCtes(numHashes, bands, shingleK, maxBucket)}
+       |SELECT id_a, id_b,
+       |  round(len(list_filter(range($numHashes), i -> sa.sig[i + 1] = sb.sig[i + 1])) / $numHashes.0, 4) AS est_jaccard
+       |FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+       |WHERE len(list_filter(range($numHashes), i -> sa.sig[i + 1] = sb.sig[i + 1])) / $numHashes.0 >= $threshold""".stripMargin
+
+  def ngramJaccardSql(numHashes: Int, bands: Int, shingleK: Int,
+                      maxBucket: Int, threshold: Double): String =
+    s"""WITH ${lshCtes(numHashes, bands, shingleK, maxBucket)}
+       |SELECT id_a, id_b,
+       |  round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+       |FROM pairs JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+       |WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |      len(list_distinct(list_concat(sa.sh, sb.sh))) >= $threshold""".stripMargin
+
+  /** k-token chained-window winnowing fingerprint (mirrors
+    * TextOps.fingerprintPortable): acc_j[i] = H(acc_(j-1)[i], hs[i+j]).
+    */
+  def fingerprintSql(k: Int): String = {
+    val chain = (1 until k).foldLeft(s"hs[1 : greatest(n - ${k - 1}, 1)]") { (acc, j) =>
+      s"list_transform($acc, (x, i) -> substr(sha256(x || hs[i + $j]), 1, 16))"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |    x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, len(ws) AS n,
+       |    list_transform(ws, x -> substr(sha256(x), 1, 16)) AS hs
+       |  FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN n >= $k THEN list_aggregate($chain, 'min') END AS fingerprint
+       |FROM h""".stripMargin
+  }
 }
 
 /** Query implementations; grouped here so SparkEntry stays a thin registry. */
@@ -292,26 +397,47 @@ object Queries {
   def valueCounts(s: SparkSession, d: String): DataFrame =
     events(s, d).groupBy("event_type").agg(count(lit(1)).as("n"))
 
-  /** North rule end-to-end: seeded change-event log → streaming foreachBatch
-    * MERGE into the from-scratch lake table → final state with per-row
-    * sha2(content) invariant. Correctness oracle lives in ScalaTest
-    * (graft.stream.CdcIngestSpec vs ReplayOracle); here the driver
-    * smoke-checks rows>0. Deterministic: seeded generator, fresh temp dirs.
+  /** North rule end-to-end, DRIVER-ORACLED: the sf `events` table plays the
+    * change log — each event maps deterministically to an upsert/delete on a
+    * (repo, path) key with lsn = event_id — written as a WAL directory,
+    * drained by Structured Streaming foreachBatch MERGE into the from-scratch
+    * lake table across multiple micro-batches, then read back. The DuckDB
+    * oracle is plain last-LSN-wins SQL over the same mapping, with the
+    * north-rule per-row sha256(content) invariant as the compared value.
+    * (The richer seeded-generator replay — duplicates, schema evolution,
+    * resume — stays in ScalaTest: CdcIngestSpec vs ReplayOracle.)
     */
   def cdcEngineE2e(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_q_cdc").toString
-    val cfg = graft.events.EventLog.Config(
-      numEvents = 20000L, numRepos = 100, pathsPerRepo = 100,
-      duplicateRate = 0.03, schemaChangeLsns = Seq(7000L, 14001L))
-    graft.events.EventLog.write(s, cfg, s"$work/events", 4)
+    // deterministic per-input work dir, wiped at the START of each run: the
+    // previous run's table must stay readable after return (lazy consumption)
+    // but never accumulates beyond one copy
+    val tag = java.lang.Integer.toHexString(d.hashCode)
+    val work = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_q_cdc_$tag")
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+      p.delete()
+    }
+    rmrf(work)
+    val log = events(s, d).select(
+      col("event_id").as("lsn"),
+      col("event_id"),
+      col("ts"),
+      when(col("event_type") === "error", "delete").otherwise("insert").as("op"),
+      concat(lit("r"), (col("user_id") % 25).cast("string")).as("repo"),
+      concat(lit("p"), col("user_id").cast("string")).as("path"),
+      col("event_id").cast("string").as("commit"),
+      col("event_type").as("lang"),
+      col("props").as("content"),
+      lit(null).cast("string").as("schema_change"),
+      lit(null).cast("string").as("extra"))
+    log.repartition(8).write.parquet(s"$work/events")
     val ingest = new graft.stream.CdcIngest(
-      s, s"$work/table", s"$work/events", s"$work/cp", saltBuckets = 4)
+      s, s"$work/table", s"$work/events", s"$work/cp", maxFilesPerTrigger = 2)
     ingest.runToCompletion()
     val t = ingest.table.read()
-    t.select(t.schema.fieldNames.toSeq.map {
-      case "content" => sha2(col("content"), 256).as("content_sha")
-      case c => col(c)
-    }: _*)
+    t.select(col("repo"), col("path"), col("commit").as("last_commit"),
+      col("lang"), sha2(col("content"), 256).as("content_sha"))
   }
 
   /** F5: sha256 row keying (reference oryx.py:253-267) via built-in sha2 —
@@ -409,9 +535,13 @@ object Queries {
     * degenerate; the cap bounds the quadratic step (real corpora shingle far
     * more diversely — the cap is the standard guard either way).
     */
+  /** portable=true keys every hash on sha256 so the full LSH pipeline —
+    * signatures, band buckets, bucket cap, candidate pairs, est filter —
+    * replays bit-for-bit in the DuckDB oracle.
+    */
   def minhashPairsQ(s: SparkSession, d: String): DataFrame =
     graft.ops.DedupOps.minhashLshPairs(documents(s, d), "text", "doc_id",
-      threshold = 0.3, maxBucket = 256)
+      threshold = 0.3, maxBucket = 256, portable = true)
 
   /** 8×8 banding guarantees candidate recall for Hamming ≤ 7 (pigeonhole);
     * the query threshold matches the guaranteed bound — no silent recall gap.
@@ -422,7 +552,7 @@ object Queries {
 
   def ngramJaccardQ(s: SparkSession, d: String): DataFrame =
     graft.ops.DedupOps.ngramJaccardPairs(documents(s, d), "text", "doc_id",
-      shingleK = 3, threshold = 0.3, maxBucket = 256)
+      shingleK = 3, threshold = 0.3, maxBucket = 256, portable = true)
 
   /** Word-set Jaccard within (lang, source) blocks — the oracle-checkable
     * exact-similarity variant (blocked self-join, no hash functions).
@@ -477,9 +607,12 @@ object Queries {
     documents(s, d).select(col("doc_id"), col("lang"),
       graft.ops.TextOps.langId(col("text")).as("lang_pred"))
 
+  /** Portable (sha256-hex) winnowing fingerprint — oracle-checkable; the
+    * xxhash64 fast path keeps its golden test in OpsSpec.
+    */
   def fingerprintQ(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(col("doc_id"),
-      graft.ops.TextOps.fingerprint(col("text"), k = 8).as("fingerprint"))
+      graft.ops.TextOps.fingerprintPortable(col("text"), k = 8).as("fingerprint"))
 
   // ------------------------------------------------------------------
   // Multimodal plumbing

@@ -42,14 +42,29 @@ object DedupOps {
     * interpreted and Catalyst re-inlines the alias), which measured 40×
     * slower at 5k docs.
     */
-  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
-    val baseHashes = transform(TextOps.shingles(text, shingleK), s => xxhash64(s))
+  def minhashSignature(text: Column, shingleK: Int, numHashes: Int,
+                       portable: Boolean = false): Column = {
+    // portable = the sha256-hex hash space DuckDB can replicate: base hash is
+    // the first 16 hex chars of sha256(shingle); h_i chains "i:" onto the
+    // base. Min over hex strings = same lexicographic order in both engines.
+    // Default = xxhash64 (codegen'd, ~10× cheaper) for production paths.
+    val shingles = TextOps.shingles(text, shingleK)
+    val baseHashes =
+      if (portable) transform(shingles, s => substring(sha2(s, 256), 1, 16))
+      else transform(shingles, s => xxhash64(s))
+    // "g" sorts above every hex char — the string-domain Long.MaxValue
+    val init: Column =
+      if (portable) array_repeat(lit("g"), numHashes)
+      else array_repeat(lit(Long.MaxValue), numHashes)
+    def hi(i: Column, h: Column): Column =
+      if (portable) substring(sha2(concat(i.cast("string"), lit(":"), h), 256), 1, 16)
+      else xxhash64(i, h)
     aggregate(
       baseHashes,
-      array_repeat(lit(Long.MaxValue), numHashes),
+      init,
       (acc, h) => zip_with(
         acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, h)),
+        transform(sequence(lit(0), lit(numHashes - 1)), i => hi(i, h)),
         (a, b) => least(a, b)))
   }
 
@@ -65,16 +80,21 @@ object DedupOps {
   def minhashLshPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 1000,
+      portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = df.select(col(idCol).as("__id"),
-      minhashSignature(col(textCol), shingleK, numHashes).as("__sig"))
+      minhashSignature(col(textCol), shingleK, numHashes, portable).as("__sig"))
       .persist()
     // band buckets: hash of each signature slice
+    def bucketOf(b: Column): Column =
+      if (portable)
+        substring(sha2(concat(b.cast("string"), lit("|"),
+          array_join(slice(col("__sig"), b * rows + 1, lit(rows)), ",")), 256), 1, 16)
+      else xxhash64(b, to_json(slice(col("__sig"), b * rows + 1, lit(rows))))
     val banded = sig.select(col("__id"), col("__sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(b, to_json(slice(col("__sig"), b * rows + 1, lit(rows)))))))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bucketOf(_))))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
     // bound degenerate buckets (boilerplate) — dropped pairs are quarantined
     // by count, not silently: caller can diff candidate counts via lineage
@@ -149,9 +169,10 @@ object DedupOps {
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, threshold: Double = 0.5,
-      numHashes: Int = 32, bands: Int = 8, maxBucket: Int = 1000): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8, maxBucket: Int = 1000,
+      portable: Boolean = false): DataFrame = {
     val cand = minhashLshPairs(df, textCol, idCol, shingleK, numHashes, bands,
-      threshold = 0.0, maxBucket = maxBucket)
+      threshold = 0.0, maxBucket = maxBucket, portable = portable)
     val sh = df.select(col(idCol).as("__id"),
       TextOps.shingles(col(textCol), shingleK).as("__sh"))
     cand.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")

@@ -79,26 +79,46 @@ object TextOps {
     * aggregate; the window chain uses xxhash64(acc, h) rather than a
     * polynomial so it stays overflow-free under ANSI mode.
     */
-  def fingerprint(text: Column, k: Int = 8): Column = {
+  def fingerprint(text: Column, k: Int = 8): Column =
+    fingerprintChain(text, k, t => xxhash64(t), (a, b) => xxhash64(a, b))
+
+  /** [[fingerprint]] in a hash space DuckDB can replicate (first 16 hex chars
+    * of sha256; the min is over hex STRINGS, identical lexicographic order in
+    * both engines) — the oracle-checkable twin of the xxhash64 fast path.
+    */
+  def fingerprintPortable(text: Column, k: Int = 8): Column =
+    fingerprintChain(text, k,
+      t => substring(sha2(t, 256), 1, 16),
+      (a, b) => substring(sha2(concat(a, b), 256), 1, 16))
+
+  private def fingerprintChain(
+      text: Column, k: Int,
+      hashTok: Column => Column, hashPair: (Column, Column) => Column): Column = {
     // k zip_with passes over shifted views instead of per-window slice+fold:
     // acc_j[i] = H(acc_{j-1}[i], hashes[i+j]) — same chained-window hashes,
     // O(n·k) with k cheap vectorized passes (the slice-per-window form paid
     // an interpreted fold per window and measured 4x slower)
     val toks = wordTokens(text)
-    val hashes = transform(toks, t => xxhash64(t))
+    val hashes = transform(toks, hashTok)
     val nWin = greatest(size(hashes) - (k - 1), lit(1))
     val first = slice(hashes, lit(1), nWin)
     val chained = (1 until k).foldLeft(first) { (acc, j) =>
-      zip_with(acc, slice(hashes, lit(j + 1), nWin), (a, b) => xxhash64(a, b))
+      zip_with(acc, slice(hashes, lit(j + 1), nWin), hashPair)
     }
-    array_min(chained)
+    // a doc with fewer than k tokens has no full window: null, not a
+    // padded-window hash (zip_with null padding differs across engines)
+    when(size(toks) >= k, array_min(chained))
   }
 
-  /** Shingle strings: k-token shingles joined with ''. */
+  /** Shingle strings: k-token shingles joined with a single space. The
+    * space keeps the join injective (tokens contain no whitespace) and
+    * PORTABLE: the old separator was a raw \u0001 byte, which an external
+    * oracle re-computing shingle hashes cannot see in rendered source.
+    */
   def shingles(text: Column, k: Int): Column = {
     val toks = wordTokens(text)
     val nWin = greatest(size(toks) - (k - 1), lit(1))
     array_distinct(transform(sequence(lit(0), nWin - 1), i =>
-      concat_ws("", slice(toks, i + 1, lit(k)))))
+      array_join(slice(toks, i + 1, lit(k)), " ")))
   }
 }
