@@ -59,6 +59,11 @@ object SparkEntry {
     "q_fingerprint"        -> Queries.fingerprintQ _,
     // --- multimodal plumbing ---
     "q_multimodal_meta"    -> Queries.multimodalMeta _,
+    // --- file-based assets, publish/export, bounded-concurrency fetch
+    // (SURVEY §2.1 S4/S5/K5/K7, §2.9 T8) ---
+    "q_asset_enrich"       -> Queries.assetEnrich _,
+    "q_publish_export"     -> Queries.publishExport _,
+    "q_media_fetch"        -> Queries.mediaFetch _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -241,6 +246,25 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY repo, path ORDER BY event_id DESC) AS rn
         |  FROM mapped)
         |WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+    "q_asset_enrich" ->
+      """SELECT c_custkey, coalesce(n_name, 'UNKNOWN') AS nation_name, r_name AS region_code
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "q_publish_export" ->
+      "SELECT doc_id, lang, source FROM documents",
+    "q_media_fetch" ->
+      """WITH inv AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS url_hash,
+        |    arg_min(props, event_id) AS url,
+        |    arg_min(event_type, event_id) AS evidence_source
+        |  FROM events GROUP BY user_id)
+        |SELECT url_hash, url, evidence_source,
+        |  CASE WHEN evidence_source IN ('click','view')
+        |    THEN 'media/' || evidence_source || '/' || url_hash || '.bin' END AS media_key,
+        |  CASE WHEN evidence_source IN ('click','view') THEN '.bin' END AS file_type,
+        |  CASE WHEN evidence_source IN ('click','view') THEN 'fetched' ELSE 'no_handler' END AS status,
+        |  CASE WHEN evidence_source IN ('click','view') THEN 1 ELSE 0 END AS attempts
+        |FROM inv""".stripMargin,
     "q_fingerprint" -> OracleGen.fingerprintSql(k = 8),
     "q_minhash_dedup_pairs" -> OracleGen.minhashPairsSql(
       numHashes = 32, bands = 8, shingleK = 3, maxBucket = 256, threshold = 0.3),
@@ -408,17 +432,7 @@ object Queries {
     * resume — stays in ScalaTest: CdcIngestSpec vs ReplayOracle.)
     */
   def cdcEngineE2e(s: SparkSession, d: String): DataFrame = {
-    // deterministic per-input work dir, wiped at the START of each run: the
-    // previous run's table must stay readable after return (lazy consumption)
-    // but never accumulates beyond one copy
-    val tag = java.lang.Integer.toHexString(d.hashCode)
-    val work = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_q_cdc_$tag")
-    def rmrf(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
-      p.delete()
-    }
-    rmrf(work)
+    val work = scratchDir("cdc", d)
     val log = events(s, d).select(
       col("event_id").as("lsn"),
       col("event_id"),
@@ -613,6 +627,95 @@ object Queries {
   def fingerprintQ(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(col("doc_id"),
       graft.ops.TextOps.fingerprintPortable(col("text"), k = 8).as("fingerprint"))
+
+  // ------------------------------------------------------------------
+  // File-based assets, publish/export, bounded-concurrency fetch
+  // ------------------------------------------------------------------
+
+  /** Deterministic per-input scratch dir, wiped at run start (results must
+    * stay readable after return; never accumulates beyond one copy).
+    */
+  private def scratchDir(kind: String, d: String): String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_q_${kind}_${java.lang.Integer.toHexString(d.hashCode)}")
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+      p.delete()
+    }
+    rmrf(dir)
+    dir.toString
+  }
+
+  /** S4 + S5: file-based enrichment assets. The JSON url→code mapper and the
+    * header-CSV dim are STAGED from the sf tables (no external data), then
+    * loaded through the real asset paths — wholetext JSON → broadcast map,
+    * explicit-schema CSV → broadcast-joined dim (assets.py:33-64 semantics).
+    */
+  def assetEnrich(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val work = scratchDir("assets", d)
+    nation(s, d).coalesce(1)
+      .write.option("header", "true").mode("overwrite").csv(s"$work/nation_csv")
+    // the mapper asset: 5-row region dim rendered as {url: {"Alpha-3": code}}
+    val regionRows = region(s, d).collect() // 5-row dim → asset staging, not a data collect
+    val mapperJson = regionRows.map(r =>
+      s""""url-${r.getInt(0)}": {"Alpha-3": "${r.getString(1)}"}""")
+      .mkString("{", ",", "}")
+    val mp = new java.io.File(s"$work/mapper.json")
+    mp.getParentFile.mkdirs()
+    java.nio.file.Files.write(mp.toPath, mapperJson.getBytes("UTF-8"))
+
+    val mapper = graft.domain.Assets.loadUrlMapper(s, mp.toString)
+    val dimSchema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    val dim = graft.domain.Assets.loadCsvDim(s, s"$work/nation_csv", dimSchema)
+    customer(s, d).join(broadcast(dim), col("c_nationkey") === col("n_nationkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("n_name"), lit("UNKNOWN")).as("nation_name"),
+        graft.domain.Assets.mapperLookup(mapper,
+          concat(lit("url-"), col("n_regionkey").cast("string"))).as("region_code"))
+  }
+
+  /** K5: row-oriented JSON export with tag filtering (publish.py:78-98) —
+    * stage documents minus debug-tagged columns, read back under an explicit
+    * schema, so the oracle checks the full write→read round trip.
+    */
+  def publishExport(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.meta.Schemas
+    val work = scratchDir("publish", d)
+    val docSchema = StructType(Seq(
+      Schemas.field("doc_id", LongType, Seq(Schemas.Tag.Dimension)),
+      Schemas.field("lang", StringType, Seq(Schemas.Tag.Attribute)),
+      Schemas.field("source", StringType, Seq(Schemas.Tag.Attribute)),
+      Schemas.field("text", StringType, Seq(Schemas.Tag.Debug))))
+    graft.domain.Publish.stageDatasetAsJson(documents(s, d), docSchema,
+      s"$work/export", exclude = Set(Schemas.Tag.Debug))
+    graft.domain.Publish.readStaged(s, s"$work/export", StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType))))
+  }
+
+  /** K7 + T8: per-source handler registry + bounded-concurrency fetch with
+    * the deterministic stub downloader (media.py:155-342; I/O stubbed, no
+    * egress). click/view have handlers; other sources pass through.
+    */
+  def mediaFetch(s: SparkSession, d: String): DataFrame = {
+    val inv = events(s, d).groupBy(col("user_id")).agg(
+        min_by(col("props"), col("event_id")).as("url"),
+        min_by(col("event_type"), col("event_id")).as("evidence_source"))
+      .select(col("user_id").cast("string").as("url_hash"),
+        col("url"), col("evidence_source"),
+        lit(null).cast("string").as("media_key"),
+        lit(null).cast("string").as("file_type"))
+    graft.domain.MediaFetch.fetchAll(inv,
+      Map("click" -> graft.domain.MediaFetch.stubHandler(),
+          "view"  -> graft.domain.MediaFetch.stubHandler()),
+      concurrency = 8)
+      .select("url_hash", "url", "evidence_source", "media_key", "file_type",
+        "status", "attempts")
+  }
 
   // ------------------------------------------------------------------
   // Multimodal plumbing
