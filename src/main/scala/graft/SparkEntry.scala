@@ -267,9 +267,9 @@ object SparkEntry {
         |FROM inv""".stripMargin,
     "q_fingerprint" -> OracleGen.fingerprintSql(k = 8),
     "q_minhash_dedup_pairs" -> OracleGen.minhashPairsSql(
-      numHashes = 32, bands = 8, shingleK = 3, maxBucket = 256, threshold = 0.3),
+      numHashes = 16, bands = 8, shingleK = 3, maxBucket = 256, threshold = 0.3),
     "q_ngram_jaccard" -> OracleGen.ngramJaccardSql(
-      numHashes = 32, bands = 8, shingleK = 3, maxBucket = 256, threshold = 0.3),
+      shingleK = 3, bottomK = 8, maxBucket = 256, threshold = 0.3),
   )
 }
 
@@ -328,9 +328,24 @@ private[graft] object OracleGen {
        |FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
        |WHERE len(list_filter(range($numHashes), i -> sa.sig[i + 1] = sb.sig[i + 1])) / $numHashes.0 >= $threshold""".stripMargin
 
-  def ngramJaccardSql(numHashes: Int, bands: Int, shingleK: Int,
+  /** Bottom-k sketch candidates + exact jaccard (mirrors
+    * DedupOps.ngramJaccardPairs): two docs are candidates iff their bottomK
+    * smallest shingle hashes intersect.
+    */
+  def ngramJaccardSql(shingleK: Int, bottomK: Int,
                       maxBucket: Int, threshold: Double): String =
-    s"""WITH ${lshCtes(numHashes, bands, shingleK, maxBucket)}
+    s"""WITH ${shingleCtes(shingleK)},
+       |banded AS (
+       |  SELECT doc_id, unnest(
+       |    list_sort(list_transform(sh, s -> substr(sha256(s), 1, 16)))[1:$bottomK]) AS bucket
+       |  FROM sh),
+       |capped AS (
+       |  SELECT * FROM banded
+       |  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY doc_id) <= $maxBucket),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM capped a JOIN capped b USING (bucket)
+       |  WHERE a.doc_id < b.doc_id)
        |SELECT id_a, id_b,
        |  round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
        |        len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
@@ -551,22 +566,27 @@ object Queries {
     */
   /** portable=true keys every hash on sha256 so the full LSH pipeline —
     * signatures, band buckets, bucket cap, candidate pairs, est filter —
-    * replays bit-for-bit in the DuckDB oracle.
+    * replays bit-for-bit in the DuckDB oracle. 16 hashes × 8 bands (2 rows
+    * per band): candidate hit probability at j is 1-(1-j²)^8 — HIGHER near
+    * the 0.3 threshold than 32×8's 1-(1-j⁴)^8 — at half the hashing cost.
     */
   def minhashPairsQ(s: SparkSession, d: String): DataFrame =
     graft.ops.DedupOps.minhashLshPairs(documents(s, d), "text", "doc_id",
+      numHashes = 16, bands = 8,
       threshold = 0.3, maxBucket = 256, portable = true)
 
-  /** 8×8 banding guarantees candidate recall for Hamming ≤ 7 (pigeonhole);
-    * the query threshold matches the guaranteed bound — no silent recall gap.
+  /** 4×16-bit banding guarantees candidate recall for Hamming ≤ 3
+    * (pigeonhole); the query threshold matches the guaranteed bound — no
+    * silent recall gap (the op REJECTS maxHamming ≥ bands). Wider thresholds
+    * take bands=8/16 and pay proportionally coarser buckets.
     */
   def simhashPairsQ(s: SparkSession, d: String): DataFrame =
     graft.ops.DedupOps.simhashPairs(documents(s, d), "text", "doc_id",
-      maxHamming = 7, bands = 8)
+      maxHamming = 3, bands = 4)
 
   def ngramJaccardQ(s: SparkSession, d: String): DataFrame =
     graft.ops.DedupOps.ngramJaccardPairs(documents(s, d), "text", "doc_id",
-      shingleK = 3, threshold = 0.3, maxBucket = 256, portable = true)
+      shingleK = 3, threshold = 0.3, bottomK = 8, maxBucket = 256)
 
   /** Word-set Jaccard within (lang, source) blocks — the oracle-checkable
     * exact-similarity variant (blocked self-join, no hash functions).

@@ -21,7 +21,10 @@ object Salting {
   /** Max-order-wins dedup with a skew strategy dial. `ordCols` highest tuple
     * wins; order must be total for determinism (callers pass (lsn, event_id)).
     *
-    * @param saltBuckets  0 → hash-agg dedup (map-side partial combine — the
+    * @param saltBuckets  -2 → ADAPTIVE: probe the batch for its hottest key
+    *                     (chooseSaltBuckets) and pick the bucket count —
+    *                     window semantics with skew sized from the data;
+    *                     ≤0 → hash-agg dedup (map-side partial combine — the
     *                     default engine path; hot keys collapse before the
     *                     shuffle, no salting needed);
     *                     1 → plain single window;
@@ -33,7 +36,9 @@ object Salting {
       keyCols: Seq[String],
       ordCols: Seq[Column],
       saltBuckets: Int): DataFrame = {
-    if (saltBuckets <= 0) {
+    if (saltBuckets == -2) {
+      dedupSalted(df, keyCols, ordCols, chooseSaltBuckets(df, keyCols))
+    } else if (saltBuckets <= 0) {
       ChangeOps.dedupLastWinsAgg(df, keyCols, ordCols)
     } else if (saltBuckets == 1) {
       ChangeOps.dedupLastWins(df, keyCols, ordCols)

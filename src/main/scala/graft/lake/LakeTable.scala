@@ -149,11 +149,13 @@ final class LakeTable(spark: SparkSession, val root: String) {
     //                single range shuffle below;
     // -1           → hash-agg pre-dedup (map-side partial combine collapses
     //                hot-key duplicates before any shuffle);
-    // >=1          → (salted) window pre-dedup, for comparison.
+    // -2           → adaptive salted window: probe the batch's hottest key
+    //                and size the salt buckets from it (Salting.chooseSaltBuckets);
+    // >=1          → (salted) window pre-dedup with a fixed bucket count.
     val changes =
       if (saltBuckets == 0) data
       else Salting.dedupSalted(data, keyCols, Seq(col("lsn"), col("event_id")),
-        if (saltBuckets < 0) 0 else saltBuckets)
+        if (saltBuckets == -1) 0 else saltBuckets)
 
     // ---- project events to storage rows (extras gated by column add-LSN) ----
     val srcCols = evolved.schema.fields.toSeq.map { f =>

@@ -162,20 +162,33 @@ object DedupOps {
     out
   }
 
-  /** Exact n-gram Jaccard for pairs sharing an LSH bucket: the verification
-    * step after minhash candidate generation. jac = |A∩B| / |A∪B| over
-    * distinct k-shingles.
+  /** Exact n-gram Jaccard on bottom-k-sketch candidates. Candidate stage:
+    * two docs are candidates iff their `bottomK` smallest shingle hashes
+    * intersect (the classic bottom-k minhash sketch) — for true Jaccard j
+    * the first collision probability is ≈ 1-(1-j)^k per shared element, far
+    * higher near the threshold than banded rows^-amplification, and it costs
+    * ONE hash per shingle (a banded signature pays numHashes per shingle).
+    * Verification is exact: jac = |A∩B| / |A∪B| over distinct k-shingles.
+    * sha256-hex hashing keeps the whole pipeline DuckDB-replayable.
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, threshold: Double = 0.5,
-      numHashes: Int = 32, bands: Int = 8, maxBucket: Int = 1000,
-      portable: Boolean = false): DataFrame = {
-    val cand = minhashLshPairs(df, textCol, idCol, shingleK, numHashes, bands,
-      threshold = 0.0, maxBucket = maxBucket, portable = portable)
+      bottomK: Int = 8, maxBucket: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("__id"),
       TextOps.shingles(col(textCol), shingleK).as("__sh"))
-    cand.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
+    val banded = sh.select(col("__id"), explode(
+      slice(array_sort(transform(col("__sh"), s => substring(sha2(s, 256), 1, 16))),
+        1, bottomK)).as("__bucket"))
+    val wB = Window.partitionBy(col("__bucket")).orderBy(col("__id"))
+    val capped = banded.withColumn("__bn", row_number().over(wB))
+      .filter(col("__bn") <= maxBucket)
+    val a = capped.select(col("__bucket"), col("__id").as("id_a"))
+    val b = capped.select(col("__bucket"), col("__id").as("id_b"))
+    val cand = a.join(b, Seq("__bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    cand
+      .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
       .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /

@@ -60,6 +60,45 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.contains("partial_max_by"), plan)
   }
 
+  test("a full MERGE (incl. file pruning) never executes a nested-loop or cartesian join") {
+    // The prune used to be a BroadcastNestedLoopJoin range join (O(keys ×
+    // files) predicate sweep); it is now a broadcast interval index probed
+    // map-side. Capture every plan the merge executes and audit it.
+    import spark.implicits._
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val t = new graft.lake.LakeTable(spark, tmpDir("planaudit"))
+      t.create(graft.lake.LakeTable.baseSchema)
+      def b(lsn: Long, repo: String) = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+          lsn, 0L, new java.sql.Timestamp(1700000000000L + lsn), "insert",
+          repo, "p", "c", "scala", s"v$lsn", null, null)), 1),
+        graft.events.EventLog.eventSchema)
+      t.merge(b(1, "r1"), "e", 0)
+      t.merge(b(2, "r2"), "e", 1) // second merge exercises pruning against files
+      t.merge(b(3, "r1"), "e", 2)
+      // listener delivery is async; wait until the captured set stabilizes
+      var last = -1
+      var spins = 0
+      while (plans.size() != last && spins < 50) {
+        last = plans.size(); spins += 1; Thread.sleep(100)
+      }
+      assert(plans.size() > 0, "listener captured no plans")
+      plans.forEach { p =>
+        assert(!p.contains("BroadcastNestedLoopJoin"), p)
+        assert(!p.contains("CartesianProduct"), p)
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("scalar text ops stay in one whole-stage codegen span") {
     val df = Tables.documents(spark, sf).select(
       graft.ops.TextOps.tokenCountWs(col("text")),

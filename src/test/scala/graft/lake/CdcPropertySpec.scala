@@ -13,7 +13,7 @@ class CdcPropertySpec extends SparkSuite {
 
   test("random configs × random splits × dedup strategies ≡ oracle") {
     val rnd = new scala.util.Random(2026)
-    for (trial <- 0 until 3) {
+    for (trial <- 0 until 5) {
       val n = 1500 + rnd.nextInt(1500)
       val cfg = EventLog.Config(
         numEvents = n,
@@ -35,7 +35,8 @@ class CdcPropertySpec extends SparkSuite {
       val nBatches = 1 + rnd.nextInt(4)
       val splits = sorted.grouped(math.max(1, sorted.size / nBatches)).toSeq
         .map(rnd.shuffle(_))
-      val salt = Seq(-1, 0, 1, 4)(rnd.nextInt(4))
+      // deterministic sweep: every strategy (incl. -2 adaptive) each run
+      val salt = Seq(-2, -1, 0, 1, 4)(trial % 5)
 
       val t = new LakeTable(spark, tmpDir(s"prop$trial"))
       t.create(LakeTable.baseSchema)

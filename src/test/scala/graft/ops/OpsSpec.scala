@@ -144,12 +144,11 @@ class DedupOpsSpec extends SparkSuite {
       (0L, "a b c d e"),
       (1L, "a b c d x")
     ).toDF("doc_id", "text")
-    // 3-shingles: {abc,bcd,cde} vs {abc,bcd,cdx}: |∩|=2 |∪|=4 → 0.5.
-    // 16 bands × 1 row makes candidate recall ≈ 1 − 0.5^16 for jac 0.5 —
-    // LSH candidate generation is probabilistic; the test must not rely on
-    // a lucky banding
+    // 3-shingles: {'a b c','b c d','c d e'} vs {'a b c','b c d','c d x'}:
+    // |∩|=2 |∪|=4 → 0.5. bottomK=3 covers every shingle of both docs, so the
+    // candidate stage is deterministic here (shared bottom hashes certain).
     val got = DedupOps.ngramJaccardPairs(two, "text", "doc_id", shingleK = 3,
-      threshold = 0.1, numHashes = 16, bands = 16).as[(Long, Long, Double)].collect()
+      threshold = 0.1, bottomK = 3).as[(Long, Long, Double)].collect()
     assert(got.length === 1 && got(0) === ((0L, 1L, 0.5)))
   }
 
