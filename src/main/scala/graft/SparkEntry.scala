@@ -52,6 +52,7 @@ object SparkEntry {
     // --- similarity search ---
     "q_embedding_topk"     -> Queries.embeddingTopK _,
     "q_ann_lsh_topk"       -> Queries.annLshTopK _,
+    "q_ivf_topk"           -> Queries.ivfTopK _,
     // --- text analysis ---
     "q_token_count"        -> Queries.tokenCountQ _,
     "q_quality_score"      -> Queries.qualityScoreQ _,
@@ -621,6 +622,16 @@ object Queries {
     val e = embeddings(s, d)
     graft.ops.Similarity.lshTopK(e, e.filter(col("vec_id") < 20),
       "embedding", "vec_id", k = 5, planes = 6, tables = 8)
+  }
+
+  /** IVF coarse-quantizer ANN (k-means training is iterative — not
+    * SQL-expressible, so no DuckDB oracle; recall vs brute force is asserted
+    * in SimilaritySpec).
+    */
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    graft.ops.Ivf.ivfTopK(e, e.filter(col("vec_id") < 20),
+      "embedding", "vec_id", k = 5, nlist = 16, nprobe = 4)
   }
 
   // ------------------------------------------------------------------

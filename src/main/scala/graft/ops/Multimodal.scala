@@ -54,6 +54,53 @@ object Multimodal {
       MediaMeta(id, buf.getInt(), buf.getInt(), buf.getInt(), bytes.length.toLong)
     }
 
+    /** Resize stub: deterministic payload downsample to (w, h) per frame. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val buf = ByteBuffer.wrap(bytes)
+      require(buf.getInt() == Magic, "not a GRFT container")
+      val (w0, h0, frames) = (buf.getInt(), buf.getInt(), buf.getInt())
+      val inFrame = w0 * h0 / 8
+      val outFrame = w * h / 8
+      val out = ByteBuffer.allocate(16 + outFrame * frames)
+      out.putInt(Magic).putInt(w).putInt(h).putInt(frames)
+      var f = 0
+      while (f < frames) {
+        var i = 0
+        while (i < outFrame) {
+          // nearest source byte (the stub's stand-in for pixel sampling)
+          val src = 16 + f * inFrame + (i.toLong * inFrame / math.max(1, outFrame)).toInt
+          out.put(bytes(math.min(src, bytes.length - 1)))
+          i += 1
+        }
+        f += 1
+      }
+      out.array()
+    }
+
+    /** Feature stub: per-frame sha256 → first `dim` bytes as floats in
+      * [-1, 1), mean-pooled across frames.
+      */
+    def features(md: java.security.MessageDigest, bytes: Array[Byte], dim: Int): Array[Float] = {
+      val buf = ByteBuffer.wrap(bytes)
+      require(buf.getInt() == Magic, "not a GRFT container")
+      val (w, h, frames) = (buf.getInt(), buf.getInt(), buf.getInt())
+      val frameSize = w * h / 8
+      val acc = new Array[Float](dim)
+      var f = 0
+      while (f < frames) {
+        md.reset()
+        md.update(bytes, 16 + f * frameSize, frameSize)
+        val d = md.digest()
+        var i = 0
+        while (i < dim) {
+          acc(i) += (d(i % d.length) & 0xff).toFloat / 128f - 1f
+          i += 1
+        }
+        f += 1
+      }
+      acc.map(_ / frames)
+    }
+
     /** Frame sampling stub: every `stride`-th frame's offset + digest. */
     def sampleFrames(id: Long, bytes: Array[Byte], stride: Int): Seq[Frame] = {
       val m = decodeMeta(id, bytes)
@@ -89,5 +136,40 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col("media"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) => FakeCodec.sampleFrames(id, bytes, stride) }
+  }
+
+  /** Resize stub: re-encode every blob at (w, h), deterministic nearest-
+    * neighbor-ish downsample of the payload bytes. The Spark shape is the
+    * real one — binary in, binary out, per-partition batches, blobs never
+    * shuffled — so swapping in a real scaler changes no plan.
+    */
+  def resize(spark: SparkSession, df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => (id, FakeCodec.resize(bytes, w, h)) }
+      }
+      .toDF(idCol, "media")
+  }
+
+  /** Feature-extraction stub: blob → dense `dim`-float embedding. Features
+    * are derived per frame then mean-pooled — the batch shape a real vision
+    * encoder would use (amortized model state per PARTITION, not per row),
+    * and the output column is the same `array<float>` the similarity ops
+    * (Similarity/DedupOps) consume, so ANN over extracted features is one
+    * `.transform` away.
+    */
+  def extractFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+                      dim: Int = 16): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition "model" state: one digest instance reused
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, bytes) => (id, FakeCodec.features(md, bytes, dim)) }
+      }
+      .toDF(idCol, "features")
   }
 }

@@ -25,7 +25,8 @@ final class CdcIngest(
     epoch: String = "run0",
     maxFilesPerTrigger: Int = 4,
     saltBuckets: Int = 0,
-    lineage: Option[Lineage] = None) {
+    lineage: Option[Lineage] = None,
+    maintenance: CdcIngest.Maintenance = CdcIngest.Maintenance()) {
 
   val table = new LakeTable(spark, tableRoot)
 
@@ -47,6 +48,7 @@ final class CdcIngest(
         val st = table.merge(batch, epoch, batchId, saltBuckets)
         stats = st :: stats
         lineage.foreach(_.record(st))
+        maintenance.maybeRun(table, batchId)
       }
       .start()
   }
@@ -57,5 +59,30 @@ final class CdcIngest(
     q.awaitTermination()
     lineage.foreach(_.flush())
     stats.reverse
+  }
+}
+
+object CdcIngest {
+  /** In-loop table maintenance: every `expireEvery` batches, optionally
+    * compact (only when copy-on-write fragmentation passed `compactAtFiles`)
+    * and expire snapshots beyond `keepSnapshots`. At the 10^10 design point
+    * an unmaintained ingest accumulates one snapshot + file set per batch;
+    * this bounds live metadata AND storage without a second scheduler.
+    * Compaction/expiry commit through the same snapshot log, so a crash
+    * between maintenance and checkpoint is as replay-safe as a merge.
+    *
+    * @param expireEvery    0 = maintenance off (default)
+    */
+  final case class Maintenance(
+      expireEvery: Int = 0,
+      keepSnapshots: Int = 2,
+      compactAtFiles: Int = 0,
+      targetRowsPerFile: Long = 1000000L) {
+    def maybeRun(table: LakeTable, batchId: Long): Unit =
+      if (expireEvery > 0 && (batchId + 1) % expireEvery == 0) {
+        if (compactAtFiles > 0 && table.head().files.size >= compactAtFiles)
+          table.compact(targetRowsPerFile)
+        table.expireSnapshots(keepSnapshots)
+      }
   }
 }

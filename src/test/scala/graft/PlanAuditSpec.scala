@@ -99,6 +99,33 @@ class PlanAuditSpec extends SparkSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("bucketed tables co-locate: equi-join on the bucket key runs with ZERO exchange") {
+    import spark.implicits._
+    val facts = (0L until 2000L).map(i => (i % 97, s"f$i", i)).toDF("k", "payload", "v")
+    val state = (0L until 97L).map(i => (i, s"s$i")).toDF("k", "state")
+    graft.kernel.Bucketing.writeBucketed(facts, "ba_facts", 8, Seq("k"))
+    graft.kernel.Bucketing.writeBucketed(state, "ba_state", 8, Seq("k"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val joined = spark.table("ba_facts").join(spark.table("ba_state"), "k")
+      assert(joined.count() === 2000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles — co-location lost:\n$plan")
+      // and a groupBy on the bucket key reuses the clustering too
+      val agg = spark.table("ba_facts").groupBy("k").count()
+      assert(agg.count() === 97)
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        agg.queryExecution.executedPlan.toString)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS ba_facts")
+      spark.sql("DROP TABLE IF EXISTS ba_state")
+    }
+  }
+
   test("scalar text ops stay in one whole-stage codegen span") {
     val df = Tables.documents(spark, sf).select(
       graft.ops.TextOps.tokenCountWs(col("text")),

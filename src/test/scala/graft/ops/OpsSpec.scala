@@ -208,6 +208,22 @@ class SimilaritySpec extends SparkSuite {
     assert(lsh.forall { case (q, n) => q != n })
   }
 
+  test("ivfTopK: k-means cells give high recall vs brute force at nprobe≪nlist") {
+    val queries = corpus.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val ivf = Ivf.ivfTopK(corpus, queries, "embedding", "vec_id",
+      k = 5, nlist = 10, nprobe = 3, iters = 3)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall")
+    // determinism: same data + params → same result
+    val again = Ivf.ivfTopK(corpus, queries, "embedding", "vec_id",
+      k = 5, nlist = 10, nprobe = 3, iters = 3)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    assert(again === ivf)
+  }
+
   test("LSH derives embedding dim from the data (non-64-dim fixture) and rejects ragged rows") {
     // 24-dim corpus: two identical vectors + one orthogonal-ish + one ragged
     val a = Seq.fill(24)(1.0f)
@@ -246,5 +262,36 @@ class MultimodalSpec extends SparkSuite {
     val again = Multimodal.sampleFrames(spark, withMedia, "doc_id", stride = 2).collect()
       .filter(_.doc_id == 100L).map(_.frame_sha).toSeq
     assert(again === f100.map(_.frame_sha).toSeq)
+  }
+
+  test("resize re-encodes blobs at the target dims; frame count survives") {
+    val df = Seq(5L, 100L).toDF("doc_id")
+    val resized = Multimodal.resize(spark, Multimodal.withFakeMedia(df, "doc_id"),
+      "doc_id", w = 16, h = 16)
+    val meta = Multimodal.decodeMeta(spark, resized, "doc_id").collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(meta(100L).width === 16 && meta(100L).height === 16)
+    assert(meta(100L).n_frames === 1 + 100 % 8) // frames preserved
+    assert(meta(100L).n_bytes === 16L + (16 * 16 / 8) * meta(100L).n_frames)
+  }
+
+  test("feature extraction yields deterministic fixed-dim float vectors usable by similarity ops") {
+    val df = (0L until 20L).toDF("doc_id")
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.withFakeMedia(df, "doc_id"), "doc_id", dim = 12)
+    assert(feats.schema("features").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false))
+    val rows = feats.as[(Long, Seq[Float])].collect().toMap
+    assert(rows.values.forall(_.size === 12))
+    assert(rows.values.forall(_.forall(v => v >= -1f && v <= 1f)))
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(spark,
+      Multimodal.withFakeMedia(df, "doc_id"), "doc_id", dim = 12)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(again === rows)
+    // plugs straight into the ANN path: brute-force top-k over features
+    val topk = Similarity.bruteForceTopK(feats, feats.filter(col("doc_id") < 2),
+      "features", "doc_id", k = 3)
+    assert(topk.count() === 6)
   }
 }

@@ -63,6 +63,25 @@ class CdcIngestSpec extends SparkSuite {
     assert(in2.stats.forall(!_.noOp))
   }
 
+  test("in-loop maintenance bounds snapshots and files without changing state") {
+    val work = tmpDir("cdcM")
+    EventLog.write(spark, cfg, s"$work/events", 8)
+    val in = new CdcIngest(spark, s"$work/table", s"$work/events", s"$work/cp",
+      maxFilesPerTrigger = 1, // 8 micro-batches
+      maintenance = CdcIngest.Maintenance(
+        expireEvery = 2, keepSnapshots = 2, compactAtFiles = 4))
+    in.runToCompletion()
+    assertSameTable(in.table.read(), oracle)
+    // snapshots beyond keepLast are gone (maintenance ran after batch 7;
+    // compaction may add one version on top)
+    val metas = new java.io.File(s"$work/table/meta").listFiles()
+      .map(_.getName).filter(n => n.startsWith("v") && n.endsWith(".json"))
+    assert(metas.length <= 3, s"snapshot metadata unbounded: ${metas.toSeq.sorted}")
+    // compaction kept fragmentation at bay: far fewer live files than the
+    // 8 copy-on-write merges would otherwise leave
+    assert(in.table.head().files.size < 8, s"files=${in.table.head().files.size}")
+  }
+
   test("lineage sidecar records per-batch counters that sum to the log size") {
     val work = tmpDir("cdcL")
     val in = ingest(work, maxFiles = 2, salt = 2)
