@@ -34,6 +34,7 @@ object SparkEntry {
     // --- the CDC engine end-to-end (north rule; oracle = ScalaTest fold,
     // not SQL-expressible → driver does a rows-only check) ---
     "q_cdc_engine_e2e"     -> Queries.cdcEngineE2e _,
+    "q_change_feed"        -> Queries.changeFeed _,
     // --- Borderlands domain parity (SURVEY §2.2 P*, §2.3 J1/J2, §2.7 U2,
     // §2.8 F17/F19) ---
     "q_status_extract"     -> Queries.statusExtract _,
@@ -247,6 +248,20 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY repo, path ORDER BY event_id DESC) AS rn
         |  FROM mapped)
         |WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+    "q_change_feed" ->
+      """WITH mapped AS (
+        |  SELECT 'r' || CAST(user_id % 25 AS VARCHAR) AS repo,
+        |    'p' || CAST(user_id AS VARCHAR) AS path,
+        |    event_id,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+        |    props AS content
+        |  FROM events)
+        |SELECT repo, path, last_lsn, deleted, content_sha FROM (
+        |  SELECT repo, path, event_id AS last_lsn, (op = 'delete') AS deleted,
+        |    CASE WHEN op <> 'delete' THEN sha256(content) END AS content_sha,
+        |    row_number() OVER (PARTITION BY repo, path ORDER BY event_id DESC) AS rn
+        |  FROM mapped)
+        |WHERE rn = 1""".stripMargin,
     "q_asset_enrich" ->
       """SELECT c_custkey, coalesce(n_name, 'UNKNOWN') AS nation_name, r_name AS region_code
         |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
@@ -447,8 +462,12 @@ object Queries {
     * (The richer seeded-generator replay — duplicates, schema evolution,
     * resume — stays in ScalaTest: CdcIngestSpec vs ReplayOracle.)
     */
-  def cdcEngineE2e(s: SparkSession, d: String): DataFrame = {
-    val work = scratchDir("cdc", d)
+  /** Map the sf events table to the change-event schema and run the full
+    * streaming ingest in a fresh scratch table; shared by the engine-e2e and
+    * change-feed queries.
+    */
+  private def stageAndIngest(s: SparkSession, d: String, kind: String): graft.lake.LakeTable = {
+    val work = scratchDir(kind, d)
     val log = events(s, d).select(
       col("event_id").as("lsn"),
       col("event_id"),
@@ -465,9 +484,26 @@ object Queries {
     val ingest = new graft.stream.CdcIngest(
       s, s"$work/table", s"$work/events", s"$work/cp", maxFilesPerTrigger = 2)
     ingest.runToCompletion()
-    val t = ingest.table.read()
+    ingest.table
+  }
+
+  def cdcEngineE2e(s: SparkSession, d: String): DataFrame = {
+    val t = stageAndIngest(s, d, "cdc").read()
     t.select(col("repo"), col("path"), col("commit").as("last_commit"),
       col("lang"), sha2(col("content"), 256).as("content_sha"))
+  }
+
+  /** Incremental change feed from the empty snapshot: the NET per-key
+    * changes the whole replay produced, tombstones included — exercises
+    * LakeTable.changesBetween (manifest diff + maxLsn watermark) against a
+    * plain last-event-wins SQL oracle.
+    */
+  def changeFeed(s: SparkSession, d: String): DataFrame = {
+    val t = stageAndIngest(s, d, "feed")
+    t.changesBetween(0, t.head().version)
+      .select(col("repo"), col("path"), col("_lsn").as("last_lsn"),
+        col("_deleted").as("deleted"),
+        sha2(col("content"), 256).as("content_sha"))
   }
 
   /** F5: sha256 row keying (reference oryx.py:253-267) via built-in sha2 —

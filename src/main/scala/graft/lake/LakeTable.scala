@@ -79,6 +79,31 @@ final class LakeTable(spark: SparkSession, val root: String) {
     readStored(snap, snap.files.map(_.path))
   }
 
+  /** Incremental change feed (Iceberg-style incremental scan): the NET row
+    * changes between two committed snapshots, for downstream incremental
+    * consumers. Returns storage-schema rows (`_deleted` true = the key was
+    * deleted) — each key changed in (fromVersion, toVersion] appears exactly
+    * once with its final state.
+    *
+    * Scale shape: reads ONLY the data files added after `fromVersion`
+    * (carried-forward files are skipped by manifest diff, no data scan), and
+    * `_lsn > from.maxLsn` filters carried-over rows that copy-on-write
+    * rewrote into new files — a parquet-pushed predicate, no join. Both
+    * snapshots must still exist (expireSnapshots bounds how far back a
+    * consumer may resume; same contract as Iceberg's changelog expiry), and
+    * deletes are visible only while their tombstones outlive
+    * `compact(tombstoneWatermark)` — expire tombstones only past every
+    * consumer's resume horizon.
+    */
+  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion, s"$fromVersion > $toVersion")
+    val from = log.read(fromVersion)
+    val to = log.read(toVersion)
+    val old = from.files.map(_.path).toSet
+    val added = to.files.map(_.path).filterNot(old)
+    readStored(to, added).filter(col("_lsn") > from.maxLsn)
+  }
+
   /** Apply one micro-batch of change events (EventLog.eventSchema shape).
     * Idempotent per (epoch, batchId): a replayed batch is a no-op.
     */
@@ -110,18 +135,20 @@ final class LakeTable(spark: SparkSession, val root: String) {
       .agg(
         max_by(col("op"), struct(col("lsn"), col("event_id"))).as("__winOp"),
         count(lit(1)).as("__n"),
+        max(col("lsn")).as("__maxLsn"),
         collect_list(when(col("op") === "schema_change",
           struct(col("lsn"), col("schema_change")))).as("__sc"))
       .persist()
 
-    val (scRows, distinctKeys, eventsSeen, deleteWinners) = timed("pre-agg") {
+    val (scRows, distinctKeys, eventsSeen, deleteWinners, batchMaxLsn) = timed("pre-agg") {
       val r = keyAgg.agg(
         coalesce(sum(when(col("__winOp") =!= "schema_change", 1L).otherwise(0L)), lit(0L)),
         coalesce(sum(when(col("__winOp") =!= "schema_change", col("__n")).otherwise(0L)), lit(0L)),
         coalesce(sum(when(col("__winOp") === "delete", 1L).otherwise(0L)), lit(0L)),
-        flatten(collect_list(col("__sc")))).collect()(0)
+        flatten(collect_list(col("__sc"))),
+        coalesce(max(col("__maxLsn")), lit(-1L))).collect()(0)
       val sc = r.getSeq[org.apache.spark.sql.Row](3).sortBy(_.getLong(0))
-      (sc, r.getLong(0), r.getLong(1), r.getLong(2))
+      (sc, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))
     }
 
     // ---- schema-change events: evolve schema, record add-LSN gates ----
@@ -224,7 +251,8 @@ final class LakeTable(spark: SparkSession, val root: String) {
       addedAtLsn = addedAt,
       files = snap.files.filterNot(f => touched.contains(f.path)) ++ newFiles,
       ledger = snap.ledger.add(epoch, batchId),
-      parent = snap.version)
+      parent = snap.version,
+      maxLsn = math.max(snap.maxLsn, batchMaxLsn))
     log.commit(next)
 
     MergeStats(epoch, batchId, next.version,

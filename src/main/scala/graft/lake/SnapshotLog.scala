@@ -45,6 +45,11 @@ object BatchLedger { val empty: BatchLedger = BatchLedger(Map.empty, Set.empty) 
   *                   manifest files on read; persisted as manifest refs)
   * @param ledger     idempotence ledger: replaying an applied batch is a
   *                   no-op (exactly-once under retry)
+  * @param maxLsn     high-water mark of applied change LSNs (the snapshot's
+  *                   "sequence number"): rows with `_lsn > parentSnapshot
+  *                   .maxLsn` are exactly the rows this lineage of commits
+  *                   changed — the key for incremental change-feed reads
+  *                   (LakeTable.changesBetween) without scanning data files
   */
 final case class Snapshot(
     version: Long,
@@ -52,7 +57,8 @@ final case class Snapshot(
     addedAtLsn: Map[String, Long],
     files: Seq[DataFileEntry],
     ledger: BatchLedger,
-    parent: Long)
+    parent: Long,
+    maxLsn: Long = -1L)
 
 /** Manifest entry with per-file key-range stats for file pruning.
   * Bounds are Options: None = unbounded on that side (stat missing, or
@@ -236,6 +242,7 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     val json: JObject =
       ("version" -> s.version) ~
       ("parent" -> s.parent) ~
+      ("maxLsn" -> s.maxLsn) ~
       ("schema" -> JsonMethods.parse(s.schema.json)) ~
       ("addedAtLsn" -> s.addedAtLsn) ~
       ("ledgerHwm" -> s.ledger.hwm) ~
@@ -259,6 +266,11 @@ final class SnapshotLog(spark: SparkSession, root: String) {
       addedAtLsn = (j \ "addedAtLsn").extract[Map[String, Long]],
       files = (j \ "manifests").extract[Seq[String]].flatMap(readManifest),
       ledger = ledger,
-      parent = (j \ "parent").extract[Long])
+      parent = (j \ "parent").extract[Long],
+      maxLsn = (j \ "maxLsn") match {
+        case JInt(v) => v.toLong
+        case JLong(v) => v
+        case _ => -1L
+      })
   }
 }

@@ -48,6 +48,53 @@ object Schemas {
                    exclude: Set[String] = Set.empty): DataFrame =
     df.select(columns(schema, include, exclude).map(col): _*)
 
+  // ---- markdown schema docs (reference schema/formatter.py:17-93,
+  // cli/docs.py): legible type names incl. nested list/struct, pipe table
+  // of tag-filtered fields ----
+
+  /** format_type (formatter.py:17-58): collapse concrete widths into the
+    * reader-facing families; recurse into list/struct.
+    */
+  def formatType(dt: DataType): String = dt match {
+    case _: DecimalType | FloatType | DoubleType | ByteType | ShortType |
+         IntegerType | LongType => "numeric"
+    case BooleanType => "boolean"
+    case StringType => "string"
+    case DateType => "date"
+    case TimestampType | TimestampNTZType => "datetime"
+    case DayTimeIntervalType(_, _) | YearMonthIntervalType(_, _) => "timecode"
+    case ArrayType(inner, _) => s"list(${formatType(inner)})"
+    case StructType(fields) =>
+      s"struct(${fields.map(f => s"${f.name}: ${formatType(f.dataType)}").mkString(", ")})"
+    case BinaryType => "binary"
+    case other => throw new IllegalArgumentException(s"Unsupported datatype $other")
+  }
+
+  /** _format_schema (formatter.py:72-93): markdown pipe table of the
+    * tag-filtered fields with legible types + descriptions.
+    */
+  def toMarkdown(schema: StructType, label: String, headerLevel: Int = 2,
+                 include: Set[String] = Set.empty,
+                 exclude: Set[String] = Set.empty): String = {
+    val kept = columns(schema, include, exclude).toSet
+    val rows = schema.fields.toSeq.filter(f => kept.contains(f.name)).map { f =>
+      val desc = if (f.metadata.contains("description"))
+        f.metadata.getString("description") else ""
+      (f.name, formatType(f.dataType), desc)
+    }
+    val header = s"${"#" * headerLevel} $label"
+    val widths = Seq(
+      math.max(4, rows.map(_._1.length).maxOption.getOrElse(0)),
+      math.max(4, rows.map(_._2.length).maxOption.getOrElse(0)),
+      math.max(11, rows.map(_._3.length).maxOption.getOrElse(0)))
+    def row(a: String, b: String, c: String): String =
+      s"| ${a.padTo(widths(0), ' ')} | ${b.padTo(widths(1), ' ')} | ${c.padTo(widths(2), ' ')} |"
+    (Seq(header, "",
+      row("Name", "Type", "Description"),
+      row("-" * widths(0), "-" * widths(1), "-" * widths(2))) ++
+      rows.map((row _).tupled)).mkString("\n")
+  }
+
   /** EquipmentLoss schema (reference definitions.py:10-88); logical key =
     * the five dimension fields.
     */

@@ -111,6 +111,34 @@ class LakeTableSpec extends SparkSuite {
     assert(t.read().filter(col("repo") === "zzz").select("content").as[String].head() === "y2")
   }
 
+  test("change feed: net per-key changes between snapshots, carried rows excluded") {
+    val t = freshTable()
+    t.merge(batch(
+      ev(1, "insert", "r1", "a", "c1", "scala", "v1"),
+      ev(2, "insert", "r1", "b", "c2", "scala", "v2"),
+      ev(3, "insert", "r2", "x", "c3", "py", "v3")), "e", 0)   // v1
+    t.merge(batch(
+      ev(4, "update", "r1", "a", "c4", "scala", "v4"),
+      ev(5, "update", "r1", "a", "c5", "scala", "v5")), "e", 1) // v2: a→v5 (net)
+    t.merge(batch(ev(6, "delete", "r2", "x")), "e", 2)          // v3: x deleted
+    val feed = t.changesBetween(1, 3)
+      .select(col("repo"), col("path"), col("content"), col("_deleted"), col("_lsn"))
+      .as[(String, String, Option[String], Boolean, Long)].collect().toSet
+    // key 'a' appears once with FINAL state; 'b' never changed → absent even
+    // though r1's file was rewritten by the v2 merge (copy-on-write carry)
+    assert(feed === Set(
+      ("r1", "a", Some("v5"), false, 5L),
+      ("r2", "x", None, true, 6L)), feed.toString)
+    // full-history feed from the empty snapshot = current live + tombstones
+    val all = t.changesBetween(0, 3)
+    assert(all.count() === 3) // a, b, x(tombstone) — net, one row per key
+    // feed across a compaction still excludes unchanged rows
+    t.compact(targetRowsPerFile = 1000000L)
+    val afterCompact = t.changesBetween(1, t.head().version)
+      .select(col("path")).as[String].collect().toSet
+    assert(afterCompact === Set("a", "x"), afterCompact.toString)
+  }
+
   test("delete of an absent key creates a tombstone, not a live row") {
     val t = freshTable()
     t.merge(batch(ev(1, "delete", "r9", "ghost")), "e", 0)
