@@ -124,31 +124,37 @@ final class LakeTable(spark: SparkSession, val root: String) {
       return MergeStats(epoch, batchId, snap.version, 0, 0, 0, 0, 0, noOp = true)
     }
 
-    // ---- ONE narrow pre-aggregation (key/lsn/op/schema_change only — a few
-    // % of batch bytes) feeds three needs that used to be separate jobs:
-    // schema-change extraction, lineage counters, and file pruning. The
-    // shuffled per-key agg is cached so the two driver actions share it.
+    // ---- schema-change events: a separate TINY pass. `op = 'schema_change'`
+    // pushes down to the parquet scan, so this touches almost nothing; doing
+    // it inside the big per-key agg (collect_list of structs) used to
+    // allocate a list buffer for every one of millions of keys to carry a
+    // handful of DDL rows.
+    val scRows = timed("schema-scan")(batch
+      .filter(col("op") === "schema_change")
+      .select(col("lsn"), col("schema_change"))
+      .collect().toSeq.sortBy(_.getLong(0)))
+
+    // ---- ONE narrow pre-aggregation over data events (key/lsn/op columns
+    // only — a few % of batch bytes) feeds lineage counters AND file-pruning
+    // keys; cached so the two driver actions share the shuffle.
     val keyAgg = batch
-      .select(col("repo"), col("path"), col("lsn"), col("event_id"), col("op"),
-        col("schema_change"))
+      .filter(col("op") =!= "schema_change")
+      .select(col("repo"), col("path"), col("lsn"), col("event_id"), col("op"))
       .groupBy(col("repo"), col("path"))
       .agg(
         max_by(col("op"), struct(col("lsn"), col("event_id"))).as("__winOp"),
         count(lit(1)).as("__n"),
-        max(col("lsn")).as("__maxLsn"),
-        collect_list(when(col("op") === "schema_change",
-          struct(col("lsn"), col("schema_change")))).as("__sc"))
+        max(col("lsn")).as("__maxLsn"))
       .persist()
 
-    val (scRows, distinctKeys, eventsSeen, deleteWinners, batchMaxLsn) = timed("pre-agg") {
+    val (distinctKeys, eventsSeen, deleteWinners, batchMaxLsn) = timed("pre-agg") {
       val r = keyAgg.agg(
-        coalesce(sum(when(col("__winOp") =!= "schema_change", 1L).otherwise(0L)), lit(0L)),
-        coalesce(sum(when(col("__winOp") =!= "schema_change", col("__n")).otherwise(0L)), lit(0L)),
+        count(lit(1)),
+        coalesce(sum(col("__n")), lit(0L)),
         coalesce(sum(when(col("__winOp") === "delete", 1L).otherwise(0L)), lit(0L)),
-        flatten(collect_list(col("__sc"))),
         coalesce(max(col("__maxLsn")), lit(-1L))).collect()(0)
-      val sc = r.getSeq[org.apache.spark.sql.Row](3).sortBy(_.getLong(0))
-      (sc, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.max(r.getLong(3), scRows.lastOption.map(_.getLong(0)).getOrElse(-1L)))
     }
 
     // ---- schema-change events: evolve schema, record add-LSN gates ----
