@@ -127,6 +127,40 @@ class SnapshotMetadataSpec extends SparkSuite {
     assert(rows.toSeq === Seq((supp, "v2")), s"stale or duplicate live row: ${rows.toSeq}")
   }
 
+  test("racing commits on the same version: exactly one wins (hard-link atomicity)") {
+    val root = tmpDir("meta-race")
+    val log = new SnapshotLog(spark, root)
+    val base = Snapshot(0L, LakeTable.baseSchema, Map.empty, Seq.empty, BatchLedger.empty, -1L)
+    log.commit(base)
+    // two writers race to publish v1 (POSIX rename would let BOTH "succeed",
+    // silently dropping one snapshot; link(2) cannot)
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val results = (0 until 2).map { i =>
+      Future {
+        gate.await()
+        try {
+          log.commit(base.copy(version = 1L, parent = 0L,
+            ledger = BatchLedger.empty.add(s"writer$i", 0L)))
+          Right(i)
+        } catch { case e: Exception => Left(e.getMessage) }
+      }
+    }
+    gate.countDown()
+    val done = results.map(Await.result(_, Duration.Inf)).toList
+    pool.shutdown()
+    assert(done.count(_.isRight) === 1, done.toString)
+    assert(done.count(_.isLeft) === 1, done.toString)
+    // the surviving snapshot is intact and attributable to exactly one writer
+    val head = log.head().get
+    assert(head.version === 1L)
+    assert(head.ledger.hwm.keySet.size === 1)
+  }
+
   test("expireSnapshots GCs unreferenced manifests") {
     val root = tmpDir("meta-gc")
     val t = new LakeTable(spark, root)
