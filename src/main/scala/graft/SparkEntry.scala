@@ -49,6 +49,7 @@ object SparkEntry {
     "q_simhash_pairs"      -> Queries.simhashPairsQ _,
     "q_ngram_jaccard"      -> Queries.ngramJaccardQ _,
     "q_word_jaccard_pairs" -> Queries.wordJaccardPairs _,
+    "q_dedup_clusters"     -> Queries.dedupClusters _,
     "q_embedding_near_dup" -> Queries.embeddingNearDupQ _,
     // --- similarity search ---
     "q_embedding_topk"     -> Queries.embeddingTopK _,
@@ -163,18 +164,15 @@ object SparkEntry {
     "q_exact_dedup" ->
       """SELECT doc_id, lang, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1""".stripMargin,
-    "q_word_jaccard_pairs" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, source,
-        |    list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-        |      x -> len(x) > 0)) AS ws
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(len(list_intersect(a.ws, b.ws))::DOUBLE /
-        |        len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jaccard
-        |FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
-        |      len(list_distinct(list_concat(a.ws, b.ws))) >= 0.4""".stripMargin,
+    "q_word_jaccard_pairs" -> OracleGen.wordJaccardSql,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE pj AS (${OracleGen.wordJaccardSql}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pj UNION SELECT id_b, id_a FROM pj),
+         |walk(src, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src)
+         |SELECT src AS doc_id, min(lbl) AS canonical_id FROM walk GROUP BY src""".stripMargin,
     "q_embedding_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
         |           FROM embeddings WHERE vec_id < 20),
@@ -296,6 +294,22 @@ object SparkEntry {
   * "i:" / "band|" key derivations, same hex-string min.
   */
 private[graft] object OracleGen {
+
+  /** Blocked word-set Jaccard pairs — shared by q_word_jaccard_pairs and the
+    * q_dedup_clusters transitive-closure oracle.
+    */
+  val wordJaccardSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |      x -> len(x) > 0)) AS ws
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+      |        len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jaccard
+      |FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+      |      len(list_distinct(list_concat(a.ws, b.ws))) >= 0.4""".stripMargin
 
   /** word tokens + k-shingles CTEs over `documents` (mirrors
     * TextOps.wordTokens / TextOps.shingles).
@@ -639,6 +653,13 @@ object Queries {
       .filter(jac >= 0.4)
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
   }
+
+  /** Cluster canonicalization over the (deterministic, oracle-green)
+    * word-Jaccard pair set: min-id label propagation vs a recursive-CTE
+    * transitive-closure oracle.
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    graft.ops.DedupOps.canonicalClusters(wordJaccardPairs(s, d))
 
   def embeddingNearDupQ(s: SparkSession, d: String): DataFrame =
     graft.ops.DedupOps.embeddingNearDupPairs(embeddings(s, d), "embedding", "vec_id",

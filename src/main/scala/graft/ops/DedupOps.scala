@@ -197,6 +197,45 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Canonicalize near-duplicate clusters: every doc appearing in a pair is
+    * labeled with the MIN doc id of its connected component — the standard
+    * keep-one-canonical policy applied after candidate/verify pair
+    * generation.
+    *
+    * Distributed min-label propagation: labels start as each node's own id;
+    * each round a node takes the min of its own and its neighbors' labels;
+    * fixpoint when the (monotonically decreasing) label sum stops moving.
+    * Rounds needed = component diameter — near-dup clusters are tiny dense
+    * cliques, so 2-3 rounds in practice; each round is ONE shuffle on node
+    * id, and labels are localCheckpoint'ed so the plan never grows with
+    * iteration count (the classic iterative-lineage blowup).
+    */
+  def canonicalClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                        maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("__nbr"))
+      labels = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("__nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      val s = labels.agg(sum(col("label"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** Embedding-cosine near-dup pairs via sign-LSH bucketing; exact cosine on
     * candidates only (see Similarity.cosine). Pairing runs on bare 8-byte ids
     * — a degenerate bucket goes quadratic in ids, not in vector payload — and

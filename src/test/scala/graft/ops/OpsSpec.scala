@@ -152,6 +152,18 @@ class DedupOpsSpec extends SparkSuite {
     assert(got.length === 1 && got(0) === ((0L, 1L, 0.5)))
   }
 
+  test("canonicalClusters labels every node with its component min (chain + pair + singleton-free)") {
+    // chain 1-2-3 (diameter 2 → needs >1 propagation round), pair 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = DedupOps.canonicalClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // a longer chain exercises multi-round convergence: 10-11-…-15
+    val chain = (10L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got2 = DedupOps.canonicalClusters(chain).as[(Long, Long)].collect().toMap
+    assert(got2 === (10L to 15L).map(_ -> 10L).toMap)
+  }
+
   test("embedding near-dup finds duplicated vectors") {
     val base = (0 until 64).map(i => math.sin(i * 0.7).toFloat)
     val noisy = base.zipWithIndex.map { case (v, i) => if (i == 0) v + 0.001f else v }
