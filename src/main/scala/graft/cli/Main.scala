@@ -13,6 +13,7 @@ import graft.stream.{CdcIngest, Lineage}
   *   ingest   <eventsDir> <tableRoot> <checkpointDir> [saltBuckets] [epoch]
   *   e2e      <workDir> [numEvents]         — generate→ingest→verify vs oracle
   *   show     <tableRoot>                   — print snapshot + sample rows
+  *   docs                                   — markdown schema docs (cli/docs.py parity)
   */
 object Main {
   def session(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")): SparkSession = {
@@ -80,6 +81,15 @@ object Main {
       println(snap.schema.treeString)
       t.read().orderBy(col("repo"), col("path")).show(10, 60)
       spark.stop()
+
+    case "docs" :: _ =>
+      import graft.meta.Schemas
+      println(Schemas.toMarkdown(Schemas.equipmentLoss, "equipment-loss",
+        exclude = Set(Schemas.Tag.Metadata, Schemas.Tag.Debug)))
+      println()
+      println(Schemas.toMarkdown(Schemas.media, "media"))
+      println()
+      println(Schemas.toMarkdown(graft.lake.LakeTable.baseSchema, "lake-table (north rule)"))
 
     case other =>
       System.err.println(s"unknown command: $other"); sys.exit(2)
