@@ -280,9 +280,16 @@ object Bench {
       val rep = sweeps.size
       def best(c: Int): (Double, Double) = sweeps.map(_(c)).maxBy(_._1)
       val (eps2, st2) = best(2); val (eps8, st8) = best(8); val (eps32, st32) = best(32)
+      // raw per-sweep observations included for transparency: the host swings
+      // small-cpu-count windows up to 2× at 0% steal, and an efficiency
+      // quotient under that noise deserves its inputs on the record
+      val sweepJson = sweeps.map(s =>
+        f"""{"eps2":${s(2)._1}%.1f,"eps8":${s(8)._1}%.1f,"eps32":${s(32)._1}%.1f}""")
+        .mkString("[", ",", "]")
       cdcJson = f"""{"events":$bigN,"runs_per_level":$rep,"isolation":"$isolateMode",""" +
         f""""eps_local2":$eps2%.1f,"eps_local8":$eps8%.1f,"eps_local32":$eps32%.1f,""" +
         f""""scaling_efficiency_2_to_8":${eff(2, 8)}%.3f,"scaling_efficiency_8_to_32":${eff(8, 32)}%.3f,""" +
+        f""""sweeps":$sweepJson,""" +
         f""""steal_pct":{"local2":$st2%.1f,"local8":$st8%.1f,"local32":$st32%.1f}}"""
       BenchUtil.rmrf(new java.io.File(work))
       spark = session(cpus) // leave a live session for a clean stop below
