@@ -329,13 +329,19 @@ private[graft] object OracleGen {
     */
   private def lshCtes(numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String = {
     val rows = numHashes / bands
+    // h_i(s) = 8-hex window i of sha256(s) || sha256(s||'#') || … — the hh CTE
+    // pays ceil(numHashes/8) digests per shingle ONCE; sig slices windows
+    val digests = (0 until (numHashes + 7) / 8).map { j =>
+      if (j == 0) "sha256(s)" else s"sha256(s || '${"#" * j}')"
+    }.mkString(" || ")
     s"""${shingleCtes(shingleK)},
+       |hh AS (
+       |  SELECT doc_id, list_transform(sh, s -> $digests) AS hh
+       |  FROM sh),
        |sig AS (
        |  SELECT doc_id, list_transform(range($numHashes), i ->
-       |    list_aggregate(list_transform(sh, s ->
-       |      substr(sha256(CAST(i AS VARCHAR) || ':' || substr(sha256(s), 1, 16)), 1, 16)),
-       |    'min')) AS sig
-       |  FROM sh),
+       |    list_aggregate(list_transform(hh, h -> substr(h, i * 8 + 1, 8)), 'min')) AS sig
+       |  FROM hh),
        |banded AS (
        |  SELECT doc_id, band,
        |    substr(sha256(CAST(band AS VARCHAR) || '|' ||
@@ -383,12 +389,14 @@ private[graft] object OracleGen {
        |WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
        |      len(list_distinct(list_concat(sa.sh, sb.sh))) >= $threshold""".stripMargin
 
-  /** k-token chained-window winnowing fingerprint (mirrors
-    * TextOps.fingerprintPortable): acc_j[i] = H(acc_(j-1)[i], hs[i+j]).
+  /** k-token winnowing fingerprint (mirrors TextOps.fingerprintPortable):
+    * window value = concat of the k token hashes (acc_j[i] = acc_(j-1)[i] ||
+    * hs[i+j]), hashed ONCE per window — ~2 sha256 per token vs the previous
+    * k-chained digests.
     */
   def fingerprintSql(k: Int): String = {
-    val chain = (1 until k).foldLeft(s"hs[1 : greatest(n - ${k - 1}, 1)]") { (acc, j) =>
-      s"list_transform($acc, (x, i) -> substr(sha256(x || hs[i + $j]), 1, 16))"
+    val joined = (1 until k).foldLeft(s"hs[1 : greatest(n - ${k - 1}, 1)]") { (acc, j) =>
+      s"list_transform($acc, (x, i) -> x || hs[i + $j])"
     }
     s"""WITH t AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -399,7 +407,8 @@ private[graft] object OracleGen {
        |    list_transform(ws, x -> substr(sha256(x), 1, 16)) AS hs
        |  FROM t)
        |SELECT doc_id,
-       |  CASE WHEN n >= $k THEN list_aggregate($chain, 'min') END AS fingerprint
+       |  CASE WHEN n >= $k THEN list_aggregate(
+       |    list_transform($joined, x -> substr(sha256(x), 1, 16)), 'min') END AS fingerprint
        |FROM h""".stripMargin
   }
 }
@@ -710,11 +719,13 @@ object Queries {
       graft.ops.TextOps.langId(col("text")).as("lang_pred"))
 
   /** Portable (sha256-hex) winnowing fingerprint — oracle-checkable; the
-    * xxhash64 fast path keeps its golden test in OpsSpec.
+    * xxhash64 fast path keeps its golden test in OpsSpec. The DataFrame-level
+    * variant stages the token-hash array once per row.
     */
   def fingerprintQ(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(col("doc_id"),
-      graft.ops.TextOps.fingerprintPortable(col("text"), k = 8).as("fingerprint"))
+    graft.ops.TextOps.fingerprintDf(documents(s, d).select("doc_id", "text"),
+      "text", "fingerprint", k = 8, portable = true)
+      .select("doc_id", "fingerprint")
 
   // ------------------------------------------------------------------
   // File-based assets, publish/export, bounded-concurrency fetch

@@ -6,8 +6,15 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for large-scale training-data pipelines: token
   * counting, quality scoring, language ID, document fingerprinting. All pure
   * Catalyst expressions (built-ins + higher-order functions) — no UDFs on the
-  * hot path, whole-stage-codegen friendly, embarrassingly parallel (no
-  * shuffle: every op is per-row).
+  * hot path, embarrassingly parallel (no shuffle: every op is per-row).
+  *
+  * HOF cost discipline: lambda bodies are interpreted and Catalyst re-inlines
+  * a non-attribute subtree into every use, so (a) anything derived from the
+  * token array is computed in ONE `aggregate` fold per row (never one
+  * `filter(toks, …)` per output column), and (b) multi-use intermediate
+  * arrays are staged as real columns (`withColumn`) — a non-cheap alias used
+  * more than once survives CollapseProject, so it is evaluated once per row
+  * and downstream slices see a cheap attribute reference.
   */
 object TextOps {
 
@@ -37,23 +44,34 @@ object TextOps {
   def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val n = length(t).cast("double")
-    val toks = wordTokens(t)
-    val nToks = size(toks).cast("double")
-    val stopHits = size(filter(toks, w => w.isin(stopwords.map(lit): _*))).cast("double")
-    df.withColumn("n_chars", length(t).cast("long"))
-      .withColumn("n_tokens", size(toks).cast("long"))
+    // ONE fold over the token array yields every token-derived stat (count,
+    // stopword hits, char sum). The per-column formulation re-tokenized the
+    // text for each of the 3 token-based outputs (interpreted HOFs, 5× cost).
+    val stats = aggregate(
+      wordTokens(t),
+      struct(lit(0L).as("n"), lit(0L).as("stop"), lit(0L).as("chars")),
+      (acc, w) => struct(
+        (acc.getField("n") + 1L).as("n"),
+        (acc.getField("stop") +
+          when(w.isin(stopwords.map(lit): _*), 1L).otherwise(0L)).as("stop"),
+        (acc.getField("chars") + length(w).cast("long")).as("chars")))
+    val nToks = col("__ts").getField("n").cast("double")
+    df.withColumn("__ts", stats) // multi-use non-cheap alias: evaluated once
+      .withColumn("n_chars", length(t).cast("long"))
+      .withColumn("n_tokens", col("__ts").getField("n"))
       .withColumn("alpha_ratio", round(length(regexp_replace(t, "[^A-Za-z]", "")) / n, 4))
       .withColumn("space_ratio", round(length(regexp_replace(t, "[^ \\t\\n]", "")) / n, 4))
       .withColumn("punct_ratio", round(length(regexp_replace(t, "[^.,;:!?'\"()]", "")) / n, 4))
-      .withColumn("stopword_ratio", round(when(nToks > 0, stopHits / nToks).otherwise(0.0), 4))
+      .withColumn("stopword_ratio",
+        round(when(nToks > 0, col("__ts").getField("stop") / nToks).otherwise(0.0), 4))
       .withColumn("mean_word_len",
-        round(when(nToks > 0, aggregate(toks, lit(0L), (acc, w) => acc + length(w)) / nToks)
-          .otherwise(0.0), 4))
+        round(when(nToks > 0, col("__ts").getField("chars") / nToks).otherwise(0.0), 4))
+      .drop("__ts")
   }
 
   /** N-gram-heuristic language ID: score = stopword-marker hits per language,
-    * argmax with deterministic tiebreak (score desc, language asc). Markers
-    * are tiny constant arrays → codegen'd `isin`, no dictionaries shipped.
+    * argmax with deterministic tiebreak (score desc, then language string
+    * desc — struct max order). Markers are tiny constant arrays.
     */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "that", "with"),
@@ -63,51 +81,87 @@ object TextOps {
     "it" -> Seq("il", "la", "che", "di", "non", "per", "una"))
 
   def langId(text: Column, out: String = "lang_pred"): Column = {
-    val toks = wordTokens(text)
-    // struct ordering trick: max(struct(score, reverse-alph lang)) = argmax
-    val scored = langMarkers.map { case (lang, markers) =>
-      struct(size(filter(toks, w => w.isin(markers.map(lit): _*))).as("score"),
-             lit(lang).as("lang"))
-    }
-    val best = greatest(scored: _*)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("unknown"))
+    // ONE fold over the tokens accumulates all 5 language vote counters (the
+    // per-language `size(filter(toks, …))` form re-tokenized 5× per row).
+    val votes = aggregate(
+      wordTokens(text),
+      array_repeat(lit(0), langMarkers.size),
+      (acc, w) => zip_with(acc,
+        array(langMarkers.map { case (_, m) =>
+          when(w.isin(m.map(lit): _*), 1).otherwise(0) }: _*),
+        (a, b) => a + b))
+    // argmax in one expression (votes appears exactly once): max over
+    // struct(score, lang), with a (0, "unknown") sentinel that wins iff every
+    // score is 0 ("unknown" sorts above all language codes; any positive
+    // score beats it on the score field) — same result as the previous
+    // greatest(...)/when(...) form, which re-evaluated the fold per use.
+    val langs = array(langMarkers.map(p => lit(p._1)): _*)
+    array_max(concat(
+      zip_with(votes, langs, (s, l) => struct(s.as("score"), l.as("lang"))),
+      array(struct(lit(0).as("score"), lit("unknown").as("lang")))))
+      .getField("lang")
   }
 
-  /** Rolling document fingerprint: chained hash over each k-token window,
-    * winnowed to the MIN window hash (robust to small edits away from the
-    * minimizing window). Pure higher-order functions: sequence → transform →
-    * aggregate; the window chain uses xxhash64(acc, h) rather than a
-    * polynomial so it stays overflow-free under ANSI mode.
+  /** Rolling document fingerprint: a hash of each k-token window, winnowed to
+    * the MIN window hash (robust to small edits away from the minimizing
+    * window). Fast path: chained xxhash64 (overflow-free under ANSI mode).
+    * Column API — for hot paths prefer [[fingerprintDf]], which stages the
+    * token-hash array once per row.
     */
-  def fingerprint(text: Column, k: Int = 8): Column =
-    fingerprintChain(text, k, t => xxhash64(t), (a, b) => xxhash64(a, b))
-
-  /** [[fingerprint]] in a hash space DuckDB can replicate (first 16 hex chars
-    * of sha256; the min is over hex STRINGS, identical lexicographic order in
-    * both engines) — the oracle-checkable twin of the xxhash64 fast path.
-    */
-  def fingerprintPortable(text: Column, k: Int = 8): Column =
-    fingerprintChain(text, k,
-      t => substring(sha2(t, 256), 1, 16),
-      (a, b) => substring(sha2(concat(a, b), 256), 1, 16))
-
-  private def fingerprintChain(
-      text: Column, k: Int,
-      hashTok: Column => Column, hashPair: (Column, Column) => Column): Column = {
-    // k zip_with passes over shifted views instead of per-window slice+fold:
-    // acc_j[i] = H(acc_{j-1}[i], hashes[i+j]) — same chained-window hashes,
-    // O(n·k) with k cheap vectorized passes (the slice-per-window form paid
-    // an interpreted fold per window and measured 4x slower)
+  def fingerprint(text: Column, k: Int = 8): Column = {
     val toks = wordTokens(text)
-    val hashes = transform(toks, hashTok)
-    val nWin = greatest(size(hashes) - (k - 1), lit(1))
-    val first = slice(hashes, lit(1), nWin)
-    val chained = (1 until k).foldLeft(first) { (acc, j) =>
-      zip_with(acc, slice(hashes, lit(j + 1), nWin), hashPair)
+    winnow(transform(toks, t => xxhash64(t)), size(toks), k,
+      (a, b) => xxhash64(a, b), identity)
+  }
+
+  /** [[fingerprint]] in a hash space DuckDB can replicate: token hash = first
+    * 16 hex chars of sha256(token); window hash = first 16 hex chars of
+    * sha256(concat of the window's k token hashes) — ~2 sha256 per token
+    * (the previous k-chained-digest form paid k sha256 per token and
+    * measured 13× slower at sf0.1). Min is over hex STRINGS — identical
+    * lexicographic order in both engines.
+    */
+  def fingerprintPortable(text: Column, k: Int = 8): Column = {
+    val toks = wordTokens(text)
+    winnow(transform(toks, t => substring(sha2(t, 256), 1, 16)), size(toks), k,
+      (a, b) => concat(a, b), w => substring(sha2(w, 256), 1, 16))
+  }
+
+  /** DataFrame-level fingerprint: stages the token-hash array as a real
+    * column so the k shifted-slice passes reference a cheap attribute instead
+    * of re-evaluating the tokenize+hash subtree per pass (interpreted-HOF
+    * re-inlining, ~k× the hashing cost).
+    */
+  def fingerprintDf(df: DataFrame, textCol: String, out: String = "fingerprint",
+                    k: Int = 8, portable: Boolean = false): DataFrame = {
+    val hs =
+      if (portable)
+        transform(wordTokens(col(textCol)), t => substring(sha2(t, 256), 1, 16))
+      else transform(wordTokens(col(textCol)), t => xxhash64(t))
+    val fin: Column => Column =
+      if (portable) w => substring(sha2(w, 256), 1, 16) else identity
+    val step: (Column, Column) => Column =
+      if (portable) (a, b) => concat(a, b) else (a, b) => xxhash64(a, b)
+    df.withColumn("__fp_hs", hs) // multi-use non-cheap alias: evaluated once
+      .withColumn(out, winnow(col("__fp_hs"), size(col("__fp_hs")), k, step, fin))
+      .drop("__fp_hs")
+  }
+
+  /** Winnowing core over a token-hash array: k zip_with passes over shifted
+    * views build each window's combined value — acc_j[i] = step(acc_(j-1)[i],
+    * hs[i+j]) — then `fin` maps each window to its hash and array_min winnows.
+    * O(n·k) with k cheap vectorized passes (the slice-per-window form paid an
+    * interpreted fold per window, 4× slower). A doc with fewer than k tokens
+    * has no full window: null, not a padded-window hash (zip_with null
+    * padding differs across engines).
+    */
+  private def winnow(hs: Column, nToks: Column, k: Int,
+                     step: (Column, Column) => Column, fin: Column => Column): Column = {
+    val nWin = greatest(size(hs) - (k - 1), lit(1))
+    val chained = (1 until k).foldLeft(slice(hs, lit(1), nWin)) { (acc, j) =>
+      zip_with(acc, slice(hs, lit(j + 1), nWin), step)
     }
-    // a doc with fewer than k tokens has no full window: null, not a
-    // padded-window hash (zip_with null padding differs across engines)
-    when(size(toks) >= k, array_min(chained))
+    when(nToks >= k, array_min(transform(chained, fin)))
   }
 
   /** Shingle strings: k-token shingles joined with a single space. The
