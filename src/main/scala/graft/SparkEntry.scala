@@ -670,9 +670,13 @@ object Queries {
   def dedupClusters(s: SparkSession, d: String): DataFrame =
     graft.ops.DedupOps.canonicalClusters(wordJaccardPairs(s, d))
 
+  /** planes derived from the threshold (planes = 0) so candidate recall at
+    * cosine 0.5 is ≥ 0.9 — the round-2 fixed geometry (12 planes) had ~2%
+    * recall at its requested threshold and is now rejected by the op.
+    */
   def embeddingNearDupQ(s: SparkSession, d: String): DataFrame =
     graft.ops.DedupOps.embeddingNearDupPairs(embeddings(s, d), "embedding", "vec_id",
-      threshold = 0.3)
+      threshold = 0.5)
 
   // ------------------------------------------------------------------
   // Similarity search

@@ -155,6 +155,11 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     val livePaths = snap.files.map(_.path).toSet
     val byPath = snap.files.map(f => f.path -> f).toMap
 
+    // per-attempt unique suffix: a crashed or conflict-aborted commit leaves
+    // orphan manifests (GC-able via gcManifests), and a RETRY of the same
+    // version must not collide with them (create-no-overwrite would fail
+    // permanently on the leftover deterministic name, wedging the table)
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
     var covered = Set.empty[String]
     var refs = Vector.empty[String]
     var rewriteIdx = 0
@@ -165,7 +170,7 @@ final class SnapshotLog(spark: SparkSession, root: String) {
         refs :+= m
         covered ++= entries.map(_.path)
       } else if (kept.nonEmpty) {
-        val name = s"m${snap.version}-r$rewriteIdx.json"
+        val name = s"m${snap.version}-r$rewriteIdx-$attempt.json"
         rewriteIdx += 1
         writeManifest(name, kept)
         refs :+= name
@@ -174,7 +179,7 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     }
     val added = snap.files.filterNot(f => covered.contains(f.path)).map(f => byPath(f.path))
     if (added.nonEmpty) {
-      val name = s"m${snap.version}-a.json"
+      val name = s"m${snap.version}-a-$attempt.json"
       writeManifest(name, added)
       refs :+= name
     }
@@ -183,8 +188,12 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     val out = fs.create(tmp, false)
     try out.write(renderSnapshot(snap, refs).getBytes("UTF-8")) finally out.close()
     val dest = new Path(metaDir, s"v${snap.version}.json")
+    // gate the link(2) branch on the RESOLVED FileSystem scheme only: a
+    // scheme-less path resolves against the Hadoop default FS, which may be
+    // non-local (HDFS) — attempting a local hard link there would throw
+    // NoSuchFileException and leak the tmp file
     val linked =
-      if (tmp.toUri.getScheme == null || fs.getScheme == "file") {
+      if (fs.getScheme == "file") {
         // local fs: link(2) is atomic create-no-overwrite — racing writers
         // on the same version cannot both win (POSIX rename would overwrite)
         try {

@@ -230,35 +230,82 @@ object DedupOps {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // convergence = zero labels changed this round: type-agnostic (string ids
+    // work), null-safe on empty edge sets (count of an empty frame is 0, where
+    // a sum-of-labels fixpoint NPE'd on the null aggregate), and a component
+    // with diameter > maxIters FAILS LOUDLY instead of silently returning
+    // unconverged canonical ids
     var it = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (!converged && it < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("__nbr"))
-      labels = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("__nbr"), col("label"))).as("label"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"), col("label").as("__old"),
+          least(col("label"), coalesce(col("__nbr"), col("label"))).as("label"))
         .localCheckpoint()
-      val s = labels.agg(sum(col("label"))).head().getLong(0)
-      converged = s == prevSum
-      prevSum = s
+      converged = next.filter(col("label") =!= col("__old")).isEmpty
+      labels = next.drop("__old")
       it += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"canonicalClusters did not converge in $maxIters rounds " +
+          "(component diameter exceeds maxIters); raise maxIters")
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
+  /** Candidate recall of (planes, tables) sign-LSH for a pair at cosine `t`:
+    * per-plane agreement p = 1 - acos(t)/π (Goemans-Williamson), recall =
+    * 1 - (1 - p^planes)^tables (OR-amplification across tables).
+    */
+  def signLshRecall(threshold: Double, planes: Int, tables: Int): Double = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, planes), tables)
+  }
+
+  /** Largest plane count whose candidate recall at `threshold` still meets
+    * `minRecall` with `tables` OR-amplified tables (more planes = finer
+    * buckets = cheaper verification, at the cost of recall — this picks the
+    * cheapest geometry that honors the contract). Capped at 31 so bucket ids
+    * pack into the low 32 bits of a long.
+    */
+  def signLshPlanesFor(threshold: Double, tables: Int, minRecall: Double): Int = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val perTable = 1.0 - math.pow(1.0 - minRecall, 1.0 / tables)
+    val planes = math.floor(math.log(perTable) / math.log(p)).toInt
+    math.max(1, math.min(31, planes))
   }
 
   /** Embedding-cosine near-dup pairs via sign-LSH bucketing; exact cosine on
     * candidates only (see Similarity.cosine). Pairing runs on bare 8-byte ids
     * — a degenerate bucket goes quadratic in ids, not in vector payload — and
     * the (small) deduped candidate set re-joins the vectors for scoring.
+    *
+    * HONEST RECALL CONTRACT: `planes = 0` (default) derives the plane count
+    * from the threshold so candidate recall for a pair AT the threshold is ≥
+    * `minRecall`; an explicit `planes` is REJECTED if its geometry cannot
+    * deliver `minRecall` at the threshold (the silent-recall-gap failure
+    * mode: 12 planes × 8 tables at threshold 0.3 has recall ≈ 2%). Low
+    * thresholds necessarily buy coarse buckets and a near-quadratic verify
+    * stage — that cost is inherent to sign-LSH, not a tuning knob; below
+    * cosine ~0.5 prefer an exact blocked join or IVF-cell candidates.
     */
   def embeddingNearDupPairs(
       df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double = 0.95, planes: Int = 12, tables: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.95, planes: Int = 0, tables: Int = 8,
+      seed: Long = 42L, minRecall: Double = 0.9): DataFrame = {
+    val usePlanes =
+      if (planes <= 0) signLshPlanesFor(threshold, tables, minRecall)
+      else planes
+    val achieved = signLshRecall(threshold, usePlanes, tables)
+    require(achieved >= minRecall - 1e-9,
+      f"sign-LSH geometry (planes=$usePlanes, tables=$tables) has candidate " +
+        f"recall $achieved%.3f < $minRecall%.2f for pairs at cosine $threshold%.2f; " +
+        "use fewer planes / more tables (or planes=0 to derive)")
     val vecs = df.select(col(idCol).as("__id"),
       Similarity.asDoubleVec(col(vecCol)).as("__v"))
-    val bucketed = Similarity.signBucketsMulti(df, vecCol, idCol, planes, tables, seed)
+    val bucketed = Similarity.signBucketsMulti(df, vecCol, idCol, usePlanes, tables, seed)
     val a = bucketed.select(col("__bucket"), col("__id").as("id_a"))
     val b = bucketed.select(col("__bucket"), col("__id").as("id_b"))
     val pairs = a.join(b, Seq("__bucket")).filter(col("id_a") < col("id_b"))

@@ -29,15 +29,22 @@ object Similarity {
   def asDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
   private def asDouble(c: Column): Column = asDoubleVec(c)
 
-  /** Embedding width, probed from the first row (schemas carry no fixed
-    * array length). One tiny driver action per plan build — metadata only,
-    * never a data-row collect. Rows whose width disagrees with the probe are
-    * rejected by [[filterDim]] rather than silently mis-projected.
+  /** Embedding width, probed from the data (schemas carry no fixed array
+    * length): the MOST COMMON vector width, ties broken by the larger width —
+    * deterministic (the previous limit(1) probe depended on which partition
+    * returned first, so WHICH rows [[filterDim]] silently dropped was a race),
+    * null-safe (a clear error instead of an NPE on a null vector), and robust:
+    * a ragged/corrupt minority loses the vote instead of defining the dim.
+    * One narrow aggregate scan, driver receives a single int; at real scale
+    * callers that know the declared dim should not need a probe at all.
     */
   def embeddingDim(df: DataFrame, vecCol: String): Int = {
-    val head = df.select(size(col(vecCol)).as("__d")).limit(1).collect()
-    require(head.nonEmpty, s"cannot infer embedding dim of $vecCol: empty input")
-    head(0).getInt(0)
+    val rows = df.select(size(col(vecCol)).as("__d")).filter(col("__d").isNotNull)
+      .groupBy(col("__d")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__d").desc).limit(1).collect()
+    require(rows.nonEmpty,
+      s"cannot infer embedding dim of $vecCol: empty input or all-null vectors")
+    rows(0).getInt(0)
   }
 
   private def filterDim(df: DataFrame, vecCol: String, dim: Int): DataFrame =

@@ -164,6 +164,47 @@ class DedupOpsSpec extends SparkSuite {
     assert(got2 === (10L to 15L).map(_ -> 10L).toMap)
   }
 
+  test("near-dup threshold contract: insufficient geometry rejected; derived geometry meets recall on pairs planted AT the threshold") {
+    // the round-2 silent-recall-gap shape: 12 planes × 8 tables at cosine 0.3
+    // has candidate recall ≈ 2% — must be rejected, not silently near-empty
+    val dummy = Seq((0L, Seq.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      DedupOps.embeddingNearDupPairs(dummy, "embedding", "vec_id",
+        threshold = 0.3, planes = 12, tables = 8)
+    }
+    // adversarial fixture: 150 pairs at EXACTLY the threshold cosine —
+    // v = t·u + sqrt(1-t²)·w with w ⊥ u — the hardest pairs the contract
+    // still promises to find
+    val t = 0.5
+    val dim = 32
+    val rnd = new scala.util.Random(7L)
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val rows = (0 until 150).flatMap { i =>
+      val u = unit()
+      val r = unit()
+      val proj = u.zip(r).map { case (a, b) => a * b }.sum
+      val wRaw = r.zip(u).map { case (b, a) => b - proj * a }
+      val wn = math.sqrt(wRaw.map(x => x * x).sum)
+      val w = wRaw.map(_ / wn)
+      val v = u.zip(w).map { case (a, b) => t * a + math.sqrt(1 - t * t) * b }
+      Seq((2L * i, u.toSeq.map(_.toFloat)), (2L * i + 1, v.toSeq.map(_.toFloat)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // threshold slightly below t: float32 rounding may put a planted pair's
+    // exact cosine a hair under 0.5, which is a filter artifact, not recall
+    val found = DedupOps.embeddingNearDupPairs(df, "embedding", "vec_id",
+      threshold = t - 0.01, minRecall = 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2)).toSet
+    val recall = (0 until 150).count(i => found((2L * i, 2L * i + 1))).toDouble / 150
+    assert(recall >= 0.85, s"planted-pair recall $recall < 0.85 " +
+      s"(geometry promises ≥0.9 in expectation; margin for sampling noise)")
+  }
+
   test("embedding near-dup finds duplicated vectors") {
     val base = (0 until 64).map(i => math.sin(i * 0.7).toFloat)
     val noisy = base.zipWithIndex.map { case (v, i) => if (i == 0) v + 0.001f else v }
