@@ -97,8 +97,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val cdcEvents = sys.env.getOrElse("GRAFT_BENCH_EVENTS", "4000000").toLong
-    val cdcRepeats = sys.env.getOrElse("GRAFT_BENCH_REPEATS", "2").toInt
+    // 12M default: the scaling gate divides out per-BATCH fixed costs
+    // (stream-query startup, snapshot commit, lineage sidecar ≈ 5 s
+    // regardless of cores). At 4M events those 5 s are 10% of the level-2
+    // run but 30% of the level-8 run and cap measurable 2→8 efficiency at
+    // ~0.75 even for a perfectly scaling engine; at 12M they amortize to
+    // ~3%/12% and the measurement reflects the engine again — the same
+    // amortization a real cluster gets from larger micro-batches
+    // (BASELINE.md §3: fixed costs are per-batch, not per-core).
+    val cdcEvents = sys.env.getOrElse("GRAFT_BENCH_EVENTS", "12000000").toLong
+    // 4 base sweeps: the gate is a MEDIAN of per-sweep ratios, which needs
+    // enough observations to be robust against this host's bimodal windows
+    val cdcRepeats = sys.env.getOrElse("GRAFT_BENCH_REPEATS", "4").toInt
     val runCdc = sys.env.getOrElse("GRAFT_BENCH_CDC", "1") == "1"
 
     val runQueries = sys.env.getOrElse("GRAFT_BENCH_QUERIES", "1") == "1"
@@ -107,6 +117,12 @@ object Bench {
     var spark = session(cpus)
     val results = if (!runQueries) Seq.empty else
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // isolate measurements: earlier queries leave localCheckpoint blocks and
+      // allocation garbage behind (interpreted-HOF-heavy queries measured
+      // 27-31× slower on identical code when run late in a dirty JVM —
+      // BENCH_r02); drop cached/checkpointed blocks and collect before timing
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case _: Throwable => () }
@@ -233,6 +249,10 @@ object Bench {
       }
 
       def runInProcess(cores: Int, rep: Int, pin: Boolean): (Double, Double) = {
+        // collect leftover garbage at FULL cpu width before narrowing the
+        // mask: a major GC of a dirty 24g heap on 2 pinned cpus lands inside
+        // the timed region and reads as false level-2 slowness
+        System.gc()
         if (pin) pinSelf(cores)
         try {
           val s = session(cores)
@@ -256,6 +276,18 @@ object Bench {
         case _ => runInProcess(cores, rep, pin = false)
       }
 
+      // one untimed FULL-SIZE warmup at full width before any sweep: the tiny
+      // per-run warmup covers stream init but not the big-merge code paths
+      // (C2-compiling the window/sort/zstd loops inside sweep 0's level-2 run
+      // measured 3× low and dragged the median)
+      {
+        val s = session(hostCpus)
+        BenchUtil.timedIngest(s, work, s"$work/events", s"$work/eventsTiny",
+          bigN, "warmfull")
+        s.stop()
+        System.gc()
+      }
+
       val levels = Seq(2, 8, 32)
       val sweeps = scala.collection.mutable.ArrayBuffer[Map[Int, (Double, Double)]]()
       def sweep(): Unit = {
@@ -263,32 +295,51 @@ object Bench {
         sweeps += levels.map(c => c -> runOnce(c, rep)).toMap
       }
       (0 until cdcRepeats).foreach(_ => sweep())
-      // Efficiency is a QUOTIENT: taking each level's best across sweeps
-      // pairs one window's luck with another's and randomizes the ratio on a
-      // host with 2-3× time-varying noise. Instead compute each pair's ratio
+      // Efficiency is a QUOTIENT: pairing one window's lucky low-level run
+      // with another's lucky high-level run randomizes the ratio on a host
+      // with 2-3× time-varying noise, so each pair's ratio is computed
       // WITHIN a sweep (both levels measured minutes apart in the same
-      // window) and take the best sweep — a matched-window estimate.
-      def eff(lo: Int, hi: Int): Double =
-        sweeps.map(s => s(hi)._1 / (4.0 * s(lo)._1)).max
-      // adaptive: if no sweep yet gave a clean window for the gate pair (or
-      // the upper pair only hit pathological windows), buy up to 2 more
+      // window). The GATE metric is the MEDIAN across sweeps — a
+      // max-of-sweeps statistic is biased upward by construction under this
+      // noise (round-2 verdict/advice); the best sweep is reported alongside
+      // for comparability with earlier rounds.
+      def effs(lo: Int, hi: Int): Seq[Double] =
+        sweeps.map(s => s(hi)._1 / (4.0 * s(lo)._1)).toSeq
+      def median(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      // adaptive extras are triggered by a VARIANCE criterion, independent of
+      // any pass threshold (sampling-until-pass biases the gate): buy more
+      // sweeps only while the gate-pair ratios disagree by >40% of their
+      // median — more observations tighten the median either way
+      def spread(xs: Seq[Double]): Double =
+        if (xs.isEmpty || median(xs) == 0) 0.0 else (xs.max - xs.min) / median(xs)
       var extra = 0
-      while ((eff(2, 8) < 0.82 || eff(8, 32) < 0.3) &&
+      while (spread(effs(2, 8)) > 0.4 &&
              extra < sys.env.getOrElse("GRAFT_BENCH_EXTRA", "2").toInt) {
         sweep(); extra += 1
       }
       val rep = sweeps.size
       def best(c: Int): (Double, Double) = sweeps.map(_(c)).maxBy(_._1)
       val (eps2, st2) = best(2); val (eps8, st8) = best(8); val (eps32, st32) = best(32)
+      def epsMedian(c: Int): Double = median(sweeps.map(_(c)._1).toSeq)
       // raw per-sweep observations included for transparency: the host swings
       // small-cpu-count windows up to 2× at 0% steal, and an efficiency
       // quotient under that noise deserves its inputs on the record
       val sweepJson = sweeps.map(s =>
         f"""{"eps2":${s(2)._1}%.1f,"eps8":${s(8)._1}%.1f,"eps32":${s(32)._1}%.1f}""")
         .mkString("[", ",", "]")
+      def fmtList(xs: Seq[Double]): String = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
       cdcJson = f"""{"events":$bigN,"runs_per_level":$rep,"isolation":"$isolateMode",""" +
         f""""eps_local2":$eps2%.1f,"eps_local8":$eps8%.1f,"eps_local32":$eps32%.1f,""" +
-        f""""scaling_efficiency_2_to_8":${eff(2, 8)}%.3f,"scaling_efficiency_8_to_32":${eff(8, 32)}%.3f,""" +
+        f""""eps_local2_median":${epsMedian(2)}%.1f,"eps_local8_median":${epsMedian(8)}%.1f,""" +
+        f""""eps_local32_median":${epsMedian(32)}%.1f,""" +
+        f""""scaling_efficiency_2_to_8":${median(effs(2, 8))}%.3f,""" +
+        f""""scaling_efficiency_8_to_32":${median(effs(8, 32))}%.3f,""" +
+        f""""scaling_efficiency_2_to_8_best":${effs(2, 8).max}%.3f,""" +
+        f""""scaling_efficiency_8_to_32_best":${effs(8, 32).max}%.3f,""" +
+        f""""eff_2_8_sweeps":${fmtList(effs(2, 8))},"eff_8_32_sweeps":${fmtList(effs(8, 32))},""" +
         f""""sweeps":$sweepJson,""" +
         f""""steal_pct":{"local2":$st2%.1f,"local8":$st8%.1f,"local32":$st32%.1f}}"""
       BenchUtil.rmrf(new java.io.File(work))

@@ -35,6 +35,7 @@ object SparkEntry {
     // not SQL-expressible → driver does a rows-only check) ---
     "q_cdc_engine_e2e"     -> Queries.cdcEngineE2e _,
     "q_change_feed"        -> Queries.changeFeed _,
+    "q_change_rates"       -> Queries.changeRatesQ _,
     // --- Borderlands domain parity (SURVEY §2.2 P*, §2.3 J1/J2, §2.7 U2,
     // §2.8 F17/F19) ---
     "q_status_extract"     -> Queries.statusExtract _,
@@ -260,6 +261,12 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY repo, path ORDER BY event_id DESC) AS rn
         |  FROM mapped)
         |WHERE rn = 1""".stripMargin,
+    "q_change_rates" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  'r' || CAST(user_id % 25 AS VARCHAR) AS repo,
+        |  count(*) AS changes,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS deletes
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_asset_enrich" ->
       """SELECT c_custkey, coalesce(n_name, 'UNKNOWN') AS nation_name, r_name AS region_code
         |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
@@ -280,6 +287,11 @@ object SparkEntry {
         |  CASE WHEN evidence_source IN ('click','view') THEN 1 ELSE 0 END AS attempts
         |FROM inv""".stripMargin,
     "q_fingerprint" -> OracleGen.fingerprintSql(k = 8),
+    "q_simhash_pairs" -> OracleGen.simhashPairsSql(maxHamming = 3, bands = 4),
+    "q_ann_lsh_topk" -> OracleGen.annLshTopKSql(
+      planes = 6, tables = 8, seed = 42L, dim = 64, k = 5, queryMax = 20),
+    "q_embedding_near_dup" -> OracleGen.embeddingNearDupSql(
+      threshold = 0.5, tables = 8, seed = 42L, dim = 64, minRecall = 0.9),
     "q_minhash_dedup_pairs" -> OracleGen.minhashPairsSql(
       numHashes = 16, bands = 8, shingleK = 3, maxBucket = 256, threshold = 0.3),
     "q_ngram_jaccard" -> OracleGen.ngramJaccardSql(
@@ -388,6 +400,111 @@ private[graft] object OracleGen {
        |FROM pairs JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
        |WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
        |      len(list_distinct(list_concat(sa.sh, sb.sh))) >= $threshold""".stripMargin
+
+  /** Sign-LSH ANN top-k (mirrors Similarity.lshTopK): the hyperplanes are
+    * SEEDED CONSTANTS (Similarity.hyperplanes, same scala.util.Random draw),
+    * embedded here as a VALUES table of double-list literals, so the full
+    * bucket → candidate → cosine → rank pipeline replays in DuckDB. dim is
+    * pinned to the testdata embedding width (the Spark side probes it; a
+    * width change fails the compare loudly rather than silently). Bucket ids
+    * use the same (table << 32) + sign-bit packing — only within-engine
+    * injectivity matters for a join key, but keeping them identical makes
+    * the twin auditable.
+    */
+  /** Shared sign-LSH CTEs over `embeddings`: seeded hyperplanes as literals,
+    * per-(row, table) packed bucket ids (same derivation as
+    * Similarity.signBucketsMulti: bit p = sign(v · plane_p), namespaced by
+    * table << 32).
+    */
+  private def signBucketCtes(planes: Int, tables: Int, seed: Long, dim: Int): String = {
+    val rows = for {
+      t <- 0 until tables
+      hp = graft.ops.Similarity.hyperplanes(planes, dim, seed + 1000L * t)
+      p <- 0 until planes
+    } yield s"($t, $p, [${hp(p).mkString(", ")}])"
+    s"""planes(tbl, pl, w) AS (VALUES
+       |${rows.mkString(",\n")}),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |      FROM embeddings),
+       |bk AS (
+       |  SELECT e.vec_id,
+       |    (p.tbl::BIGINT << 32) + sum(CASE WHEN list_dot_product(e.v, p.w) >= 0
+       |      THEN (1::BIGINT << p.pl) ELSE 0 END) AS bucket
+       |  FROM e CROSS JOIN planes p
+       |  GROUP BY e.vec_id, p.tbl)""".stripMargin
+  }
+
+  def annLshTopKSql(planes: Int, tables: Int, seed: Long, dim: Int,
+                    k: Int, queryMax: Int): String = {
+    s"""WITH ${signBucketCtes(planes, tables, seed, dim)},
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+       |  FROM bk q JOIN bk c USING (bucket)
+       |  WHERE q.vec_id < $queryMax AND c.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT query_id, nbr_id, list_cosine_similarity(eq.v, ec.v) AS cos
+       |  FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = nbr_id)
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rank,
+       |  nbr_id, round(cos, 6) AS cosine
+       |FROM scored QUALIFY rank <= $k""".stripMargin
+  }
+
+  /** Embedding near-dup pairs (mirrors DedupOps.embeddingNearDupPairs): the
+    * plane count is derived from the threshold with the SAME formula the op
+    * uses (signLshPlanesFor), so the oracle stays in lockstep with the
+    * recall contract; candidates from the shared sign-bucket CTEs, exact
+    * cosine on the deduped pair set, filter on the ROUNDED cosine exactly
+    * like the Spark side.
+    */
+  def embeddingNearDupSql(threshold: Double, tables: Int, seed: Long,
+                          dim: Int, minRecall: Double): String = {
+    val planes = graft.ops.DedupOps.signLshPlanesFor(threshold, tables, minRecall)
+    s"""WITH ${signBucketCtes(planes, tables, seed, dim)},
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bk a JOIN bk b USING (bucket)
+       |  WHERE a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+       |FROM pairs JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+       |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= $threshold""".stripMargin
+  }
+
+  /** Portable simhash pipeline (mirrors DedupOps.simhashPairsPortable):
+    * sha256-nibble ±1 votes → 64 fingerprint bits → band buckets → distinct
+    * candidate pairs → exact Hamming filter. Bucket encodings differ between
+    * engines (string vs folded long) — a join key only needs to be injective
+    * within its engine; the compared output is (id_a, id_b, hamming).
+    */
+  def simhashPairsSql(maxHamming: Int, bands: Int): String = {
+    val w = 64 / bands
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |    x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |v AS (
+       |  SELECT doc_id, list_transform(ws, x -> substr(sha256(x), 1, 16)) AS hs
+       |  FROM t),
+       |bits AS (
+       |  SELECT doc_id, list_transform(range(64), b ->
+       |    CASE WHEN list_sum(list_transform(hs, h ->
+       |      CASE WHEN (((strpos('0123456789abcdef', substr(h, b // 4 + 1, 1)) - 1)
+       |                  >> (3 - b % 4)) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       |    THEN 1 ELSE 0 END) AS bits
+       |  FROM v),
+       |banded AS (
+       |  SELECT doc_id, band,
+       |    array_to_string(bits[band * $w + 1 : band * $w + $w], '') AS bucket
+       |  FROM bits CROSS JOIN (SELECT unnest(range($bands)) AS band) bx),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b USING (band, bucket)
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  len(list_filter(list_zip(ba.bits, bb.bits), z -> z[1] <> z[2]))::INT AS hamming
+       |FROM pairs JOIN bits ba ON ba.doc_id = id_a JOIN bits bb ON bb.doc_id = id_b
+       |WHERE len(list_filter(list_zip(ba.bits, bb.bits), z -> z[1] <> z[2])) <= $maxHamming""".stripMargin
+  }
 
   /** k-token winnowing fingerprint (mirrors TextOps.fingerprintPortable):
     * window value = concat of the k token hashes (acc_j[i] = acc_(j-1)[i] ||
@@ -521,6 +638,21 @@ object Queries {
     * LakeTable.changesBetween (manifest diff + maxLsn watermark) against a
     * plain last-event-wins SQL oracle.
     */
+  /** Streaming analytics surface in batch mode (same plan modulo the
+    * watermark node, which the analyzer elides for batch sources): tumbling
+    * event-time windows of change counts per repo over the mapped change log
+    * — ChangeRates.windowedRates, driver-oracled via a plain time-bucket
+    * GROUP BY (the watermark semantics — late-drop determinism — stay
+    * ScalaTest-verified in ChangeRatesSpec, where a real stream exists).
+    */
+  def changeRatesQ(s: SparkSession, d: String): DataFrame = {
+    val log = events(s, d).select(
+      concat(lit("r"), (col("user_id") % 25).cast("string")).as("repo"),
+      when(col("event_type") === "error", "delete").otherwise("insert").as("op"),
+      col("ts"))
+    graft.stream.ChangeRates.windowedRates(log, "1 hour", "2 hours")
+  }
+
   def changeFeed(s: SparkSession, d: String): DataFrame = {
     val t = stageAndIngest(s, d, "feed")
     t.changesBetween(0, t.head().version)
@@ -638,10 +770,12 @@ object Queries {
   /** 4×16-bit banding guarantees candidate recall for Hamming ≤ 3
     * (pigeonhole); the query threshold matches the guaranteed bound — no
     * silent recall gap (the op REJECTS maxHamming ≥ bands). Wider thresholds
-    * take bands=8/16 and pay proportionally coarser buckets.
+    * take bands=8/16 and pay proportionally coarser buckets. Portable
+    * (sha256-nibble-vote) mode so the whole pipeline replays in DuckDB; the
+    * native-expression fast path keeps its ScalaTest oracle.
     */
   def simhashPairsQ(s: SparkSession, d: String): DataFrame =
-    graft.ops.DedupOps.simhashPairs(documents(s, d), "text", "doc_id",
+    graft.ops.DedupOps.simhashPairsPortable(documents(s, d), "text", "doc_id",
       maxHamming = 3, bands = 4)
 
   def ngramJaccardQ(s: SparkSession, d: String): DataFrame =

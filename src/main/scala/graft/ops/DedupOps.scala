@@ -173,6 +173,64 @@ object DedupOps {
     out
   }
 
+  /** [[simhashPairs]] in a hash space DuckDB can replicate: per-token bit
+    * votes come from the first 16 hex chars (64 bits) of sha256(token) —
+    * each nibble contributes 4 MSB-first ±1 votes via a 16-entry literal
+    * lookup map — and fingerprint bit b = (vote sum > 0). Banding and exact
+    * Hamming verify are identical to the FNV-1a fast path, with the same
+    * pigeonhole recall guarantee for maxHamming < bands, so the ENTIRE
+    * pipeline (votes → bits → band buckets → pairs → Hamming filter)
+    * replays in the SQL oracle. The fast path ([[simhashPairs]], native
+    * codegen'd expression) remains for production use.
+    */
+  def simhashPairsPortable(
+      df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(bands >= 2, "bands must be >= 2 (band values are folded into a long)")
+    require(maxHamming < bands,
+      s"banding guarantees recall only for hamming < bands: maxHamming=$maxHamming needs > $maxHamming bands")
+    val width = 64 / bands
+    // nibble → 4 MSB-first ±1 votes, as a tiny literal map (per-bit hex
+    // arithmetic per token would cost 64 interpreted ops per token)
+    val votesMap = typedlit((0 until 16).map { n =>
+      "%x".format(n) -> (3 to 0 by -1).map(b => if (((n >> b) & 1) == 1) 1 else -1)
+    }.toMap)
+    def tokenVotes(t: Column): Column =
+      flatten(transform(
+        filter(split(substring(sha2(t, 256), 1, 16), ""), c => length(c) > 0),
+        ch => element_at(votesMap, ch)))
+    val votes = aggregate(
+      TextOps.wordTokens(col(textCol)),
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc, tokenVotes(t), (a, b) => a + b))
+    val bits = transform(votes, v => when(v > 0, lit(1)).otherwise(lit(0)))
+    val sig = df.select(col(idCol).as("__id"), bits.as("__bits")).persist()
+    // band value = MSB-first fold of the band's bit slice (injective within
+    // an engine is all a join key needs; width ≤ 32 keeps the fold in-range)
+    def bandVal(b: Column): Column =
+      aggregate(slice(col("__bits"), b * width + 1, lit(width)),
+        lit(0L), (acc, x) => acc * 2 + x)
+    val banded = sig.select(col("__id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bandVal(_))))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+    val a = banded.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
+    val b = banded.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
+    val pairs = a.join(b, Seq("__band", "__bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val ham = size(filter(zip_with(col("__bits_a"), col("__bits_b"),
+      (x, y) => x =!= y), m => m))
+    val out = pairs
+      .join(sig.select(col("__id").as("id_a"), col("__bits").as("__bits_a")), "id_a")
+      .join(sig.select(col("__id").as("id_b"), col("__bits").as("__bits_b")), "id_b")
+      .withColumn("hamming", ham.cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .localCheckpoint()
+    sig.unpersist()
+    out
+  }
+
   /** Exact n-gram Jaccard on bottom-k-sketch candidates. Candidate stage:
     * two docs are candidates iff their `bottomK` smallest shingle hashes
     * intersect (the classic bottom-k minhash sketch) — for true Jaccard j

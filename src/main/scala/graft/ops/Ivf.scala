@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
 /** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
   * scale path next to sign-LSH (Similarity.lshTopK):
   *
-  *  1. TRAIN: Lloyd k-means over the corpus. Assignment is distributed (an
-  *     argmin-over-centroids Catalyst expression per row — no UDF, no
-  *     shuffle of vectors); each iteration reduces to `nlist × dim` running
-  *     means via posexplode + groupBy, and only that tiny table returns to
-  *     the driver.
+  *  1. TRAIN: Lloyd k-means over the corpus. Assignment joins the corpus
+  *     against a BROADCAST centroids DataFrame and takes the min-distance
+  *     cell per row with map-side partial aggregation — the pairs pipeline
+  *     through the hash-agg without materializing, and the plan stays
+  *     O(1) in nlist (the previous literal-array argmin inlined nlist × dim
+  *     doubles into the plan and paid an O(nlist) interpreted expression
+  *     per row — fine at nlist=16, catastrophic at a realistic nlist ≥ 4k).
+  *     Each iteration reduces to `nlist × dim` running means via posexplode
+  *     + groupBy; only that tiny table returns to the driver.
   *  2. INDEX: every corpus vector is tagged with its nearest centroid's cell
   *     id — at scale this is the partition/bucket key, so a cell's vectors
   *     co-locate and a probe touches `nprobe / nlist` of the data.
@@ -19,28 +23,38 @@ import org.apache.spark.sql.functions._
   *     cosine on the probed subset, per-query top-k window.
   *
   * Everything is deterministic given (data, seed): init picks the `nlist`
-  * corpus rows with the smallest xxhash64(id).
+  * corpus rows with the smallest xxhash64(id); distance ties break on the
+  * smaller cell id.
   */
 object Ivf {
 
-  /** Squared L2 distance between a vector column and a centroid literal. */
-  private def dist2(v: Column, cent: Array[Double]): Column =
-    aggregate(zip_with(v, typedlit(cent.toSeq), (x, y) => (x - y) * (x - y)),
+  /** Squared L2 distance between two vector columns. */
+  private def dist2(v: Column, c: Column): Column =
+    aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
       lit(0.0d), (acc, x) => acc + x)
 
-  /** argmin over centroids: struct(dist, cell) array-min → cell. */
-  private def nearestCell(v: Column, cents: Array[Array[Double]]): Column =
-    array_min(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(dist2(v, c).as("d"), lit(i).as("c"))
-    }: _*)).getField("c")
+  /** Centroids as a broadcastable two-column frame (__cell, __cv). */
+  private def centroidsDf(df: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("__cell", "__cv")
+  }
 
-  /** `nprobe` nearest cells, as an array column (for query-side explode). */
-  private def nearestCells(v: Column, cents: Array[Array[Double]], nprobe: Int): Column =
-    transform(
-      slice(array_sort(array(cents.zipWithIndex.map { case (c, i) =>
-        struct(dist2(v, c).as("d"), lit(i).as("c"))
-      }: _*)), 1, nprobe),
-      s => s.getField("c"))
+  /** Nearest-cell assignment: broadcast-join corpus × centroids, min_by on
+    * (dist, cell) per row — deterministic tiebreak, one partial-aggregated
+    * shuffle on the row id, no vectors in the plan.
+    */
+  private def assignCells(df: DataFrame, vecCol: String, idCol: String,
+                          cents: Array[Array[Double]]): DataFrame = {
+    val v = Similarity.asDoubleVec(col(vecCol))
+    df.select(col(idCol).as("__id"), v.as("__v"))
+      .crossJoin(broadcast(centroidsDf(df, cents)))
+      .withColumn("__d", dist2(col("__v"), col("__cv")))
+      .groupBy(col("__id"))
+      .agg(min_by(struct(col("__cell"), col("__v")),
+        struct(col("__d"), col("__cell"))).as("__m"))
+      .select(col("__id"), col("__m.__cell").as("__cell"), col("__m.__v").as("__v"))
+  }
 
   /** Lloyd iterations; empty cells keep their previous centroid. Collects
     * only `nlist × dim` aggregates per iteration (driver-tiny at any corpus
@@ -56,8 +70,7 @@ object Ivf {
       .collect().map(_.getSeq[Double](0).toArray)
     require(cents.nonEmpty, "empty corpus")
     for (_ <- 0 until iters) {
-      val assigned = df.select(v.as("__v"), nearestCell(v, cents).as("__cell"))
-      val means = assigned
+      val means = assignCells(df, vecCol, idCol, cents)
         .select(col("__cell"), posexplode(col("__v")))
         .groupBy(col("__cell"), col("pos"))
         .agg(avg(col("col")).as("m"))
@@ -77,12 +90,19 @@ object Ivf {
       corpus: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
       k: Int = 5, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
     val cents = trainCentroids(corpus, vecCol, idCol, nlist, iters)
+    val c = assignCells(corpus, vecCol, idCol, cents)
+      .select(col("__id").as("nbr_id"), col("__v").as("__cv"), col("__cell"))
+    // query side: nprobe nearest cells via a window over the (tiny) broadcast
+    // join — queries are small by contract, the window is per-query-local
     val v = Similarity.asDoubleVec(col(vecCol))
-    val c = corpus.select(col(idCol).as("nbr_id"), v.as("__cv"),
-      nearestCell(v, cents).as("__cell"))
-    val q = queries.select(col(idCol).as("query_id"), v.as("__qv"),
-        nearestCells(v, cents, nprobe).as("__cells"))
-      .select(col("query_id"), col("__qv"), explode(col("__cells")).as("__cell"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d").asc, col("__cell").asc)
+    val q = queries.select(col(idCol).as("query_id"), v.as("__qv"))
+      .crossJoin(broadcast(centroidsDf(queries, cents)))
+      .withColumn("__d", dist2(col("__qv"), col("__cv")))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("__cell"))
     // a corpus row lives in exactly one cell → (query, nbr) matches at most
     // once; no dedup needed
     val scored = c.join(broadcast(q), Seq("__cell"))

@@ -277,6 +277,31 @@ class SimilaritySpec extends SparkSuite {
     assert(again === ivf)
   }
 
+  test("ivfTopK at nlist=256: broadcast-join assignment keeps recall and determinism at realistic cell counts") {
+    // 16-dim clustered corpus, 640 rows over 64 clusters — enough rows that
+    // 256 cells are meaningfully populated and the plan carries NO centroid
+    // literals (the join-based path this test pins down)
+    def v16(seed: Int): Seq[Float] = {
+      val rc = new scala.util.Random(300 + seed / 10)
+      val center = Seq.fill(16)(rc.nextGaussian())
+      val rn = new scala.util.Random(seed)
+      center.map(c => (c + 0.1 * rn.nextGaussian()).toFloat)
+    }
+    val corpus640 = (0 until 640).map(i => (i.toLong, v16(i))).toDF("vec_id", "embedding")
+    val queries = corpus640.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(corpus640, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val ivf = Ivf.ivfTopK(corpus640, queries, "embedding", "vec_id",
+      k = 5, nlist = 256, nprobe = 24, iters = 2)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall")
+    val again = Ivf.ivfTopK(corpus640, queries, "embedding", "vec_id",
+      k = 5, nlist = 256, nprobe = 24, iters = 2)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    assert(again === ivf)
+  }
+
   test("LSH derives embedding dim from the data (non-64-dim fixture) and rejects ragged rows") {
     // 24-dim corpus: two identical vectors + one orthogonal-ish + one ragged
     val a = Seq.fill(24)(1.0f)
