@@ -290,11 +290,11 @@ object Bench {
 
       val levels = Seq(2, 8, 32)
       val sweeps = scala.collection.mutable.ArrayBuffer[Map[Int, (Double, Double)]]()
-      def sweep(): Unit = {
+      def sweep(ls: Seq[Int]): Unit = {
         val rep = sweeps.size
-        sweeps += levels.map(c => c -> runOnce(c, rep)).toMap
+        sweeps += ls.map(c => c -> runOnce(c, rep)).toMap
       }
-      (0 until cdcRepeats).foreach(_ => sweep())
+      (0 until cdcRepeats).foreach(_ => sweep(levels))
       // Efficiency is a QUOTIENT: pairing one window's lucky low-level run
       // with another's lucky high-level run randomizes the ratio on a host
       // with 2-3× time-varying noise, so each pair's ratio is computed
@@ -304,32 +304,40 @@ object Bench {
       // noise (round-2 verdict/advice); the best sweep is reported alongside
       // for comparability with earlier rounds.
       def effs(lo: Int, hi: Int): Seq[Double] =
-        sweeps.map(s => s(hi)._1 / (4.0 * s(lo)._1)).toSeq
+        sweeps.filter(s => s.contains(lo) && s.contains(hi))
+          .map(s => s(hi)._1 / (4.0 * s(lo)._1)).toSeq
       def median(xs: Seq[Double]): Double = {
         val s = xs.sorted
         if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
       }
       // adaptive extras are triggered by a VARIANCE criterion, independent of
       // any pass threshold (sampling-until-pass biases the gate): buy more
-      // sweeps only while the gate-pair ratios disagree by >40% of their
-      // median — more observations tighten the median either way
+      // observations only while the gate-pair ratios disagree by >40% of
+      // their median — more observations tighten the median either way.
+      // Extras run the GATE PAIR only (2, 8): each extra minute buys a gate
+      // observation instead of re-measuring the hardware-capped upper pair.
       def spread(xs: Seq[Double]): Double =
         if (xs.isEmpty || median(xs) == 0) 0.0 else (xs.max - xs.min) / median(xs)
+      val spreadTrigger = sys.env.getOrElse("GRAFT_BENCH_SPREAD", "0.4").toDouble
       var extra = 0
-      while (spread(effs(2, 8)) > 0.4 &&
-             extra < sys.env.getOrElse("GRAFT_BENCH_EXTRA", "2").toInt) {
-        sweep(); extra += 1
+      while (spread(effs(2, 8)) > spreadTrigger &&
+             extra < sys.env.getOrElse("GRAFT_BENCH_EXTRA", "3").toInt) {
+        sweep(Seq(2, 8)); extra += 1
       }
       val rep = sweeps.size
-      def best(c: Int): (Double, Double) = sweeps.map(_(c)).maxBy(_._1)
+      def obs(c: Int): Seq[(Double, Double)] = sweeps.filter(_.contains(c)).map(_(c)).toSeq
+      def best(c: Int): (Double, Double) = obs(c).maxBy(_._1)
       val (eps2, st2) = best(2); val (eps8, st8) = best(8); val (eps32, st32) = best(32)
-      def epsMedian(c: Int): Double = median(sweeps.map(_(c)._1).toSeq)
+      def epsMedian(c: Int): Double = median(obs(c).map(_._1))
       // raw per-sweep observations included for transparency: the host swings
       // small-cpu-count windows up to 2× at 0% steal, and an efficiency
       // quotient under that noise deserves its inputs on the record
-      val sweepJson = sweeps.map(s =>
-        f"""{"eps2":${s(2)._1}%.1f,"eps8":${s(8)._1}%.1f,"eps32":${s(32)._1}%.1f}""")
-        .mkString("[", ",", "]")
+      val sweepJson = sweeps.map { s =>
+        val fields = Seq(2 -> "eps2", 8 -> "eps8", 32 -> "eps32").collect {
+          case (c, n) if s.contains(c) => f""""$n":${s(c)._1}%.1f"""
+        }
+        fields.mkString("{", ",", "}")
+      }.mkString("[", ",", "]")
       def fmtList(xs: Seq[Double]): String = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
       cdcJson = f"""{"events":$bigN,"runs_per_level":$rep,"isolation":"$isolateMode",""" +
         f""""eps_local2":$eps2%.1f,"eps_local8":$eps8%.1f,"eps_local32":$eps32%.1f,""" +
