@@ -35,6 +35,7 @@ object SparkEntry {
     // not SQL-expressible → driver does a rows-only check) ---
     "q_cdc_engine_e2e"     -> Queries.cdcEngineE2e _,
     "q_change_feed"        -> Queries.changeFeed _,
+    "q_change_feed_stream" -> Queries.changeFeedStream _,
     "q_change_rates"       -> Queries.changeRatesQ _,
     // --- Borderlands domain parity (SURVEY §2.2 P*, §2.3 J1/J2, §2.7 U2,
     // §2.8 F17/F19) ---
@@ -248,6 +249,22 @@ object SparkEntry {
         |  FROM mapped)
         |WHERE rn = 1 AND op <> 'delete'""".stripMargin,
     "q_change_feed" ->
+      """WITH mapped AS (
+        |  SELECT 'r' || CAST(user_id % 25 AS VARCHAR) AS repo,
+        |    'p' || CAST(user_id AS VARCHAR) AS path,
+        |    event_id,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+        |    props AS content
+        |  FROM events)
+        |SELECT repo, path, last_lsn, deleted, content_sha FROM (
+        |  SELECT repo, path, event_id AS last_lsn, (op = 'delete') AS deleted,
+        |    CASE WHEN op <> 'delete' THEN sha256(content) END AS content_sha,
+        |    row_number() OVER (PARTITION BY repo, path ORDER BY event_id DESC) AS rn
+        |  FROM mapped)
+        |WHERE rn = 1""".stripMargin,
+    // same net-state oracle: the streamed windows collapse last-LSN-wins to
+    // exactly the batch change feed's final state
+    "q_change_feed_stream" ->
       """WITH mapped AS (
         |  SELECT 'r' || CAST(user_id % 25 AS VARCHAR) AS repo,
         |    'p' || CAST(user_id AS VARCHAR) AS path,
@@ -635,7 +652,7 @@ object Queries {
 
   /** Incremental change feed from the empty snapshot: the NET per-key
     * changes the whole replay produced, tombstones included — exercises
-    * LakeTable.changesBetween (manifest diff + maxLsn watermark) against a
+    * LakeTable.changesBetween (manifest diff + _ver commit-version stamp) against a
     * plain last-event-wins SQL oracle.
     */
   /** Streaming analytics surface in batch mode (same plan modulo the
@@ -659,6 +676,40 @@ object Queries {
       .select(col("repo"), col("path"), col("_lsn").as("last_lsn"),
         col("_deleted").as("deleted"),
         sha2(col("content"), 256).as("content_sha"))
+  }
+
+  /** The change feed CONSUMED AS A STREAM (graft-changes DSv1 source,
+    * stream/ChangeFeedSource.scala): replay the sf events through the
+    * streaming ingest, then drain the table's committed change feed with
+    * `readStream.format("graft-changes")` under Trigger.AvailableNow,
+    * rate-limited to 2 snapshot versions per micro-batch so the drain is a
+    * real multi-batch stream. Each window delivers that window's NET change
+    * per key; the downstream consumer collapses deliveries last-LSN-wins —
+    * the canonical "stream a CDC feed into a materialized view" pattern, so
+    * the end state matches the same last-event-wins oracle as q_change_feed.
+    */
+  def changeFeedStream(s: SparkSession, d: String): DataFrame = {
+    val t = stageAndIngest(s, d, "feedstream")
+    val work = scratchDir("feedstream_cp", d)
+    val feed = s.readStream.format("graft-changes")
+      .option("path", t.root)
+      .option("startingVersion", "earliest")
+      .option("maxVersionsPerTrigger", "2")
+      .load()
+      .select(col("repo"), col("path"), col("_lsn").as("last_lsn"),
+        col("_deleted").as("deleted"),
+        sha2(col("content"), 256).as("content_sha"))
+    val sink = "graft_change_feed_stream_sink"
+    val q = feed.writeStream.format("memory").queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/cp")
+      .start()
+    q.awaitTermination()
+    val delivered = s.table(sink)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("repo", "path").orderBy(col("last_lsn").desc)
+    delivered.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** F5: sha256 row keying (reference oryx.py:253-267) via built-in sha2 —

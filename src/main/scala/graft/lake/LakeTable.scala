@@ -52,7 +52,8 @@ final class LakeTable(spark: SparkSession, val root: String) {
   private def storageSchema(s: Snapshot): StructType =
     StructType(s.schema.fields.toSeq :+
       StructField("_lsn", LongType, nullable = false) :+
-      StructField("_deleted", BooleanType, nullable = false))
+      StructField("_deleted", BooleanType, nullable = false) :+
+      StructField("_ver", LongType, nullable = false))
 
   /** Read stored rows of the given files under the given snapshot's schema;
     * files written before a schema evolution lack the added columns and the
@@ -73,6 +74,13 @@ final class LakeTable(spark: SparkSession, val root: String) {
       .select(snap.schema.fieldNames.map(col).toSeq: _*)
   }
 
+  /** Schema of the change feed (changesBetween / the graft-changes streaming
+    * source): the CURRENT user schema plus (`_lsn`, `_deleted`). Fixed at
+    * stream start by Structured Streaming; columns added by later schema
+    * evolution appear to a running stream only after restart.
+    */
+  def changeFeedSchema(): StructType = storageSchema(head())
+
   /** Stored state incl. tombstones and `_lsn` — for tests and compaction. */
   def readRaw(): DataFrame = {
     val snap = head()
@@ -87,8 +95,13 @@ final class LakeTable(spark: SparkSession, val root: String) {
     *
     * Scale shape: reads ONLY the data files added after `fromVersion`
     * (carried-forward files are skipped by manifest diff, no data scan), and
-    * `_lsn > from.maxLsn` filters carried-over rows that copy-on-write
-    * rewrote into new files — a parquet-pushed predicate, no join. Both
+    * `_ver > fromVersion` filters carried-over rows that copy-on-write
+    * rewrote into new files — a parquet-pushed predicate, no join. `_ver` is
+    * the snapshot version that last MODIFIED the row (Delta CDF's
+    * `_commit_version` analog), stamped by the merge itself, so the feed is
+    * exact even when change events arrive out of LSN order across batches
+    * (an `_lsn`-watermark filter would silently drop a late-delivered change
+    * whose LSN is below an earlier snapshot's high-water mark). Both
     * snapshots must still exist (expireSnapshots bounds how far back a
     * consumer may resume; same contract as Iceberg's changelog expiry), and
     * deletes are visible only while their tombstones outlive
@@ -101,7 +114,7 @@ final class LakeTable(spark: SparkSession, val root: String) {
     val to = log.read(toVersion)
     val old = from.files.map(_.path).toSet
     val added = to.files.map(_.path).filterNot(old)
-    readStored(to, added).filter(col("_lsn") > from.maxLsn)
+    readStored(to, added).filter(col("_ver") > fromVersion)
   }
 
   /** Apply one micro-batch of change events (EventLog.eventSchema shape).
@@ -202,9 +215,16 @@ final class LakeTable(spark: SparkSession, val root: String) {
             .otherwise(col(f.name).cast(f.dataType)).as(f.name)
       }
     }
+    // `_ver` = commit version that last modified the row: source rows carry
+    // the committing version, target rows their stored one. Ties prefer the
+    // target (__tie below), so a source row wins the merge window iff it
+    // strictly changes the key's state — the winner's own _ver is therefore
+    // exactly "version of last modification" with no extra comparison, and a
+    // re-delivered duplicate keeps the old _ver (no spurious change-feed row).
     val src = changes.select(srcCols ++ Seq(
       col("lsn").as("_lsn"),
       (col("op") === "delete").as("_deleted"),
+      lit(snap.version + 1).as("_ver"),
       col("event_id").as("__tie"),
       lit(false).as("__isTarget")): _*)
 

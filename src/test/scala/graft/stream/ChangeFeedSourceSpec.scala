@@ -1,0 +1,138 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSuite
+import graft.events.EventLog
+import graft.lake.LakeTable
+
+class ChangeFeedSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ev(
+      lsn: Long, op: String, repo: String = null, path: String = null,
+      commit: String = null, lang: String = null, content: String = null,
+      sc: String = null, extra: String = null, eventId: Long = 0L): Row =
+    Row(lsn, eventId, new java.sql.Timestamp(1700000000000L + lsn * 1000), op,
+      repo, path, commit, lang, content, sc, extra)
+
+  private def batch(rows: Row*): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), EventLog.eventSchema)
+
+  private def freshTable(): LakeTable = {
+    val t = new LakeTable(spark, tmpDir("cfeed"))
+    t.create(LakeTable.baseSchema)
+    t
+  }
+
+  private def readFeed(root: String, opts: Map[String, String]): DataFrame =
+    opts.foldLeft(
+      spark.readStream.format("graft-changes").option("path", root)
+    )((r, kv) => r.option(kv._1, kv._2)).load()
+
+  /** Drain the feed with AvailableNow into a buffer; returns (rows, batches). */
+  private def drain(df: DataFrame, checkpoint: String): (Seq[Row], Int) = {
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = df.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.collect()
+        if (rows.nonEmpty) batches.incrementAndGet()
+        rows.foreach(buf.add)
+      }
+      .start()
+    q.awaitTermination()
+    (scala.jdk.CollectionConverters.CollectionHasAsScala(buf).asScala.toSeq, batches.get())
+  }
+
+  private def keyed(rows: Seq[Row], schema: Seq[String]): Set[Seq[Any]] =
+    rows.map(r => schema.map(c => r.get(r.fieldIndex(c)))).toSet
+
+  private val cols = Seq("repo", "path", "content", "_lsn", "_deleted")
+
+  test("earliest stream == changesBetween(0, head), deletes included") {
+    val t = freshTable()
+    t.merge(batch(
+      ev(1, "insert", "r1", "a", "c1", "scala", "v1"),
+      ev(2, "insert", "r1", "b", "c2", "scala", "v2")), "e", 0)
+    t.merge(batch(
+      ev(3, "update", "r1", "a", "c3", "scala", "v3"),
+      ev(4, "delete", "r1", "b")), "e", 1)
+
+    val (rows, _) = drain(
+      readFeed(t.root, Map("startingVersion" -> "earliest")), tmpDir("ck"))
+    val expect = t.changesBetween(0, t.head().version).collect().toSeq
+    assert(keyed(rows, cols) === keyed(expect, cols))
+    assert(rows.exists(r => r.getBoolean(r.fieldIndex("_deleted"))))
+  }
+
+  test("checkpointed restart delivers only NEW versions, exactly once") {
+    val t = freshTable()
+    val ck = tmpDir("ck")
+    t.merge(batch(ev(1, "insert", "r1", "a", "c1", "scala", "v1")), "e", 0)
+    val v1 = t.head().version
+
+    val (first, _) = drain(readFeed(t.root, Map("startingVersion" -> "earliest")), ck)
+    assert(keyed(first, cols) === keyed(t.changesBetween(0, v1).collect().toSeq, cols))
+
+    t.merge(batch(
+      ev(2, "update", "r1", "a", "c2", "scala", "v2"),
+      ev(3, "insert", "r2", "x", "c3", "py", "v3")), "e", 1)
+    val v2 = t.head().version
+
+    val (second, _) = drain(readFeed(t.root, Map("startingVersion" -> "earliest")), ck)
+    assert(keyed(second, cols) === keyed(t.changesBetween(v1, v2).collect().toSeq, cols))
+    // the v1 state of r1/a must NOT be re-delivered
+    assert(!second.exists(r => r.getString(r.fieldIndex("content")) == "v1"))
+  }
+
+  test("startingVersion=latest sees nothing already committed; numeric start windows correctly") {
+    val t = freshTable()
+    t.merge(batch(ev(1, "insert", "r1", "a", "c1", "scala", "v1")), "e", 0)
+    val v1 = t.head().version
+    t.merge(batch(ev(2, "insert", "r1", "b", "c2", "scala", "v2")), "e", 1)
+
+    val (latestRows, _) = drain(
+      readFeed(t.root, Map("startingVersion" -> "latest")), tmpDir("ck"))
+    assert(latestRows.isEmpty)
+
+    val (fromV1, _) = drain(
+      readFeed(t.root, Map("startingVersion" -> v1.toString)), tmpDir("ck"))
+    assert(keyed(fromV1, cols) ===
+      keyed(t.changesBetween(v1, t.head().version).collect().toSeq, cols))
+  }
+
+  test("maxVersionsPerTrigger splits a backlog into multiple micro-batches") {
+    val t = freshTable()
+    (0 until 4).foreach { i =>
+      t.merge(batch(ev(i + 1, "insert", "r1", s"f$i", s"c$i", "scala", s"v$i")), "e", i)
+    }
+    val head = t.head().version
+    val (rows, batches) = drain(
+      readFeed(t.root, Map(
+        "startingVersion" -> "earliest", "maxVersionsPerTrigger" -> "1")),
+      tmpDir("ck"))
+    assert(keyed(rows, cols) === keyed(t.changesBetween(0, head).collect().toSeq, cols))
+    // one version per trigger → one non-empty micro-batch per merged version
+    assert(batches === 4)
+  }
+
+  test("schema evolution: stream carries columns added before stream start") {
+    val t = freshTable()
+    t.merge(batch(ev(1, "insert", "r1", "a", "c1", "scala", "v1")), "e", 0)
+    t.merge(batch(
+      ev(2, "schema_change", sc = """{"addColumn":{"name":"stars","type":"long"}}"""),
+      ev(3, "update", "r1", "a", "c3", "scala", "v3",
+        extra = """{"stars": 7}""")), "e", 1)
+
+    val feed = readFeed(t.root, Map("startingVersion" -> "earliest"))
+    assert(feed.columns.contains("stars"))
+    val (rows, _) = drain(feed, tmpDir("ck"))
+    val expect = t.changesBetween(0, t.head().version).collect().toSeq
+    val c2 = cols :+ "stars"
+    assert(keyed(rows, c2) === keyed(expect, c2))
+  }
+}
