@@ -50,6 +50,20 @@ class PlanAuditSpec extends SparkSuite {
       s"expected the range exchange to satisfy the window's clustering; got $exchanges:\n$plan")
   }
 
+  test("change feed pushes the _ver commit-version predicate to the scan") {
+    import spark.implicits._
+    val t = new graft.lake.LakeTable(spark, tmpDir("planfeed"))
+    t.create(graft.lake.LakeTable.baseSchema)
+    val ev = Seq((1L, 1L, new java.sql.Timestamp(0L), "insert", "r1", "a", "c1",
+      "scala", "v1", null: String, null: String))
+      .toDF("lsn", "event_id", "ts", "op", "repo", "path", "commit", "lang",
+        "content", "schema_change", "extra")
+    t.merge(ev, "e", 0)
+    t.merge(ev.withColumn("lsn", lit(2L)).withColumn("content", lit("v2")), "e", 1)
+    val plan = formatted(t.changesBetween(1, 2))
+    assert(plan.contains("GreaterThan(_ver,1)"), plan)
+  }
+
   test("dedupLastWinsAgg gets map-side partial aggregation") {
     import spark.implicits._
     val df = Seq(("k1", 1L, "a"), ("k1", 2L, "b")).toDF("k", "lsn", "v")
