@@ -67,12 +67,18 @@ final class LakeTable(spark: SparkSession, val root: String) {
   }
 
   /** User-visible table state: live rows only, engine columns hidden. */
-  def read(): DataFrame = {
-    val snap = head()
+  def read(): DataFrame = readAt(head())
+
+  /** Time travel: the table as of `version` (live rows, engine columns
+    * hidden, the schema AS OF that version). Any still-unexpired snapshot is
+    * readable — same retention contract as the change feed.
+    */
+  def readVersion(version: Long): DataFrame = readAt(log.read(version))
+
+  private def readAt(snap: Snapshot): DataFrame =
     readStored(snap, snap.files.map(_.path))
       .filter(!col("_deleted"))
       .select(snap.schema.fieldNames.map(col).toSeq: _*)
-  }
 
   /** Schema of the change feed (changesBetween / the graft-changes streaming
     * source): the CURRENT user schema plus (`_lsn`, `_deleted`). Fixed at

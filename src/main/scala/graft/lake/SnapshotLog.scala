@@ -134,6 +134,26 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     })
   }
 
+  /** Load a snapshot's manifests with bounded parallelism. A snapshot at the
+    * 10^5-file design point references hundreds of immutable manifests;
+    * reading them serially makes snapshot load O(manifests × FS round-trip)
+    * on the driver — the dominant metadata cost on object stores. Order of
+    * the returned entries follows the manifest list (deterministic).
+    */
+  private def readManifests(names: Seq[String]): Seq[DataFileEntry] = {
+    val misses = names.filterNot(manifestCache.containsKey)
+    if (misses.size > 1) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, misses.size))
+      try {
+        val futures = misses.map(n => pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = { readManifest(n); () }
+        }))
+        futures.foreach(_.get()) // propagate the first failure
+      } finally pool.shutdown()
+    }
+    names.flatMap(readManifest)
+  }
+
   private def writeManifest(name: String, entries: Seq[DataFileEntry]): Unit = {
     val json: JObject = "files" -> entries.map(renderEntry)
     val out = fs.create(new Path(metaDir, name), false)
@@ -273,7 +293,7 @@ final class SnapshotLog(spark: SparkSession, root: String) {
       schema = DataType.fromJson(JsonMethods.compact(JsonMethods.render(j \ "schema")))
         .asInstanceOf[StructType],
       addedAtLsn = (j \ "addedAtLsn").extract[Map[String, Long]],
-      files = (j \ "manifests").extract[Seq[String]].flatMap(readManifest),
+      files = readManifests((j \ "manifests").extract[Seq[String]]),
       ledger = ledger,
       parent = (j \ "parent").extract[Long],
       maxLsn = (j \ "maxLsn") match {

@@ -139,6 +139,24 @@ class LakeTableSpec extends SparkSuite {
     assert(afterCompact === Set("a", "x"), afterCompact.toString)
   }
 
+  test("time travel: readVersion returns each snapshot's live state and schema") {
+    val t = freshTable()
+    t.merge(batch(ev(1, "insert", "r1", "a", "c1", "scala", "v1")), "e", 0) // v1
+    t.merge(batch(
+      ev(2, "schema_change", sc = """{"addColumn":{"name":"stars","type":"long"}}"""),
+      ev(3, "update", "r1", "a", "c2", "scala", "v2", extra = """{"stars": 5}""")), "e", 1) // v2
+    t.merge(batch(ev(4, "delete", "r1", "a")), "e", 2)                      // v3
+    assert(t.readVersion(0).count() === 0)
+    val atV1 = t.readVersion(1)
+    assert(!atV1.columns.contains("stars"))
+    assert(atV1.select("content").as[String].collect().toSeq === Seq("v1"))
+    val atV2 = t.readVersion(2)
+    assert(atV2.select("content", "stars").as[(String, Option[Long])].collect().toSeq
+      === Seq(("v2", Some(5L))))
+    assert(t.readVersion(3).count() === 0) // deleted at head
+    assert(t.read().count() === 0)
+  }
+
   test("delete of an absent key creates a tombstone, not a live row") {
     val t = freshTable()
     t.merge(batch(ev(1, "delete", "r9", "ghost")), "e", 0)
