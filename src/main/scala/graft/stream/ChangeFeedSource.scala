@@ -38,9 +38,9 @@ final case class VersionOffset(version: Long) extends OffsetV1 {
   * window is never re-read).
   *
   * Scale shape: a micro-batch reads ONLY data files added in its version
-  * window (manifest diff, no data scan to plan) with the `_lsn > from.maxLsn`
-  * predicate pushed to parquet; planning is O(manifest entries), independent
-  * of table size. Retention contract: a stream may resume only while its
+  * window (manifest diff, no data scan to plan) with the `_ver > fromVersion`
+  * commit-version predicate pushed to parquet; planning is O(manifest
+  * entries), independent of table size. Retention contract: a stream may resume only while its
   * last committed version still exists — run `expireSnapshots(keepLast)`
   * with `keepLast` covering the slowest consumer's lag, and expire tombstones
   * (`compact(tombstoneWatermark)`) only past every consumer's resume horizon
@@ -144,7 +144,7 @@ final class ChangeFeedSource(
 /** DSv1 streaming provider for `format("graft-changes")` (registered via
   * META-INF/services). DSv1 over DSv2 is deliberate: its `getBatch` returns a
   * DataFrame, so each window IS the `changesBetween` plan — parquet scan,
-  * pushed `_lsn` predicate, pruned columns — instead of a hand-rolled
+  * pushed `_ver` predicate, pruned columns — instead of a hand-rolled
   * per-file reader (the same trade Delta Lake's streaming source makes).
   */
 final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegister {
