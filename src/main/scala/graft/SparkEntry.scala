@@ -313,6 +313,8 @@ object SparkEntry {
       numHashes = 16, bands = 8, shingleK = 3, maxBucket = 256, threshold = 0.3),
     "q_ngram_jaccard" -> OracleGen.ngramJaccardSql(
       shingleK = 3, bottomK = 8, maxBucket = 256, threshold = 0.3),
+    "q_ivf_topk" -> OracleGen.ivfTopKSql(
+      nlist = 16, nprobe = 4, k = 5, iters = 3, dim = 64, queryMax = 20),
   )
 }
 
@@ -461,6 +463,67 @@ private[graft] object OracleGen {
        |scored AS (
        |  SELECT query_id, nbr_id, list_cosine_similarity(eq.v, ec.v) AS cos
        |  FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = nbr_id)
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rank,
+       |  nbr_id, round(cos, 6) AS cosine
+       |FROM scored QUALIFY rank <= $k""".stripMargin
+  }
+
+  /** IVF top-k (mirrors Ivf.ivfTopK with portable = true): the full Lloyd
+    * training loop UNROLLED as SQL — sha256-ordered init (c0), then per
+    * iteration an argmin assignment (aN: row_number over (distance, cell))
+    * and a per-(cell, dim) mean (mN) folded back into centroid lists (cN,
+    * empty cells keeping the previous centroid via the LEFT JOIN coalesce) —
+    * followed by the final cell assignment, nprobe cell probing and exact
+    * cosine top-k, all identical in structure to the Spark op. Distances:
+    * Spark compares squared L2, DuckDB list_distance is L2 — same argmin
+    * (monotone), and ties break on the cell id in both. Float caveat: the
+    * two engines sum in different orders, so means/distances can differ in
+    * the last ulp; assignments only flip on near-exact centroid ties, which
+    * the cosine round(6) and integer cell comparisons make unobservable on
+    * this data (hash-verified by the driver).
+    */
+  def ivfTopKSql(nlist: Int, nprobe: Int, k: Int, iters: Int, dim: Int,
+                 queryMax: Int): String = {
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, cell, v FROM (
+         |    SELECT e.vec_id, c.cell, e.v,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(e.v, c.v), c.cell) AS rn
+         |    FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""${assignCte(s"a$i", s"c${i - 1}")},
+         |m$i AS (
+         |  SELECT cell, r.pos, avg(v[r.pos + 1]) AS m
+         |  FROM a$i CROSS JOIN range($dim) r(pos) GROUP BY cell, r.pos),
+         |c$i AS (
+         |  SELECT c.cell, list(coalesce(m.m, c.v[r.pos + 1]) ORDER BY r.pos) AS v
+         |  FROM c${i - 1} c CROSS JOIN range($dim) r(pos)
+         |  LEFT JOIN m$i m ON m.cell = c.cell AND m.pos = r.pos
+         |  GROUP BY c.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT rn - 1 AS cell, v FROM (
+       |    SELECT v, row_number() OVER (
+       |      ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |    FROM e) WHERE rn <= $nlist),
+       |$iterCtes,
+       |${assignCte("assign", s"c$iters")},
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(e.v, c.v), c.cell) AS rn
+       |    FROM e CROSS JOIN c$iters c WHERE e.vec_id < $queryMax) WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS nbr_id, list_cosine_similarity(eq.v, a.v) AS cos
+       |  FROM probes p JOIN assign a USING (cell)
+       |  JOIN e eq ON eq.vec_id = p.query_id
+       |  WHERE a.vec_id <> p.query_id)
        |SELECT query_id,
        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rank,
        |  nbr_id, round(cos, 6) AS cosine
@@ -879,14 +942,16 @@ object Queries {
       "embedding", "vec_id", k = 5, planes = 6, tables = 8)
   }
 
-  /** IVF coarse-quantizer ANN (k-means training is iterative — not
-    * SQL-expressible, so no DuckDB oracle; recall vs brute force is asserted
-    * in SimilaritySpec).
+  /** IVF coarse-quantizer ANN. portable = true seeds k-means from sha256-hex
+    * id order so the ENTIRE iterative training loop replays in DuckDB
+    * (OracleGen.ivfTopKSql unrolls the Lloyd iterations as CTEs); recall vs
+    * brute force is additionally asserted in SimilaritySpec on the xxhash64
+    * fast path.
     */
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     graft.ops.Ivf.ivfTopK(e, e.filter(col("vec_id") < 20),
-      "embedding", "vec_id", k = 5, nlist = 16, nprobe = 4)
+      "embedding", "vec_id", k = 5, nlist = 16, nprobe = 4, portable = true)
   }
 
   // ------------------------------------------------------------------

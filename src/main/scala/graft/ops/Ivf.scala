@@ -58,15 +58,20 @@ object Ivf {
 
   /** Lloyd iterations; empty cells keep their previous centroid. Collects
     * only `nlist × dim` aggregates per iteration (driver-tiny at any corpus
-    * size).
+    * size). `portable = true` seeds from sha256-hex order of the id (instead
+    * of xxhash64) so the whole training loop is replayable in DuckDB — the
+    * same fast-path/portable twin pattern as minhash and the fingerprint;
+    * both orders carry an id tiebreak so init is total regardless of hash
+    * collisions.
     */
   def trainCentroids(
       df: DataFrame, vecCol: String, idCol: String,
-      nlist: Int, iters: Int = 3): Array[Array[Double]] = {
+      nlist: Int, iters: Int = 3, portable: Boolean = false): Array[Array[Double]] = {
     val v = Similarity.asDoubleVec(col(vecCol))
+    val h = if (portable) sha2(col(idCol).cast("string"), 256) else xxhash64(col(idCol))
     var cents: Array[Array[Double]] = df
-      .select(v.as("__v"), xxhash64(col(idCol)).as("__h"))
-      .orderBy(col("__h")).limit(nlist)
+      .select(v.as("__v"), h.as("__h"), col(idCol).as("__i"))
+      .orderBy(col("__h"), col("__i")).limit(nlist)
       .collect().map(_.getSeq[Double](0).toArray)
     require(cents.nonEmpty, "empty corpus")
     for (_ <- 0 until iters) {
@@ -88,8 +93,9 @@ object Ivf {
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
-      k: Int = 5, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
-    val cents = trainCentroids(corpus, vecCol, idCol, nlist, iters)
+      k: Int = 5, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val cents = trainCentroids(corpus, vecCol, idCol, nlist, iters, portable)
     val c = assignCells(corpus, vecCol, idCol, cents)
       .select(col("__id").as("nbr_id"), col("__v").as("__cv"), col("__cell"))
     // query side: nprobe nearest cells via a window over the (tiny) broadcast
