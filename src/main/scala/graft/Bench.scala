@@ -132,7 +132,7 @@ object Bench {
     // ---- part 2: CDC throughput at three parallelism levels on ONE input ----
     // The north-rule criterion is throughput scaling efficiency ≥0.8 from N
     // to 4N executors, evidenced here as local[2]→local[8] (and local[8]→
-    // local[32]) running the SAME job on the SAME 4M-event input. One shared
+    // local[32]) running the SAME job on the SAME 12M-event input. One shared
     // input matters: a smaller log at the low level under-utilizes the high
     // level and reads as false inefficiency (fixed per-batch costs dominate).
     // This sandbox is a Firecracker microVM with time-varying CPU steal
@@ -140,9 +140,11 @@ object Bench {
     // 32-thread fixed-work microbenchmark yields only ~3.2× the 8-thread
     // throughput even for pure CPU loops (≤0.79 measurable at 8→32), so
     // 2→8 is the pair within the host's honest parallel capacity. Repeats
-    // are INTERLEAVED across levels (2,8,32,2,8,32,…) and best-of-N per
-    // level, so a noisy window cannot sink one level only; steal% is
-    // reported per best run.
+    // are INTERLEAVED across levels (2,8,32,2,8,32,…); the GATE metric is the
+    // MEDIAN of per-sweep matched-window ratios (best-of reported alongside),
+    // with variance-triggered gate-pair extra sweeps — see the efficiency
+    // block below for the full statistics rationale. steal% is reported per
+    // best run.
     var cdcJson = "null"
     if (runCdc) {
       // RAM-backed tmpfs (stand-in for cluster-local SSDs): the sandbox's
@@ -279,8 +281,9 @@ object Bench {
       // one untimed FULL-SIZE warmup at full width before any sweep: the tiny
       // per-run warmup covers stream init but not the big-merge code paths
       // (C2-compiling the window/sort/zstd loops inside sweep 0's level-2 run
-      // measured 3× low and dragged the median)
-      {
+      // measured 3× low and dragged the median). Pointless in child mode —
+      // each child is a fresh JVM this warmup cannot warm (cold-by-design).
+      if (isolateMode != "child") {
         val s = session(hostCpus)
         BenchUtil.timedIngest(s, work, s"$work/events", s"$work/eventsTiny",
           bigN, "warmfull")
@@ -324,7 +327,6 @@ object Bench {
              extra < sys.env.getOrElse("GRAFT_BENCH_EXTRA", "3").toInt) {
         sweep(Seq(2, 8)); extra += 1
       }
-      val rep = sweeps.size
       def obs(c: Int): Seq[(Double, Double)] = sweeps.filter(_.contains(c)).map(_(c)).toSeq
       def best(c: Int): (Double, Double) = obs(c).maxBy(_._1)
       val (eps2, st2) = best(2); val (eps8, st8) = best(8); val (eps32, st32) = best(32)
@@ -339,7 +341,9 @@ object Bench {
         fields.mkString("{", ",", "}")
       }.mkString("[", ",", "]")
       def fmtList(xs: Seq[Double]): String = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-      cdcJson = f"""{"events":$bigN,"runs_per_level":$rep,"isolation":"$isolateMode",""" +
+      // honest per-level provenance: gate-pair extras run only levels (2, 8),
+      // so a single sweep count would overstate how often level 32 ran
+      cdcJson = f"""{"events":$bigN,"runs_per_level":{"l2":${obs(2).size},"l8":${obs(8).size},"l32":${obs(32).size}},"isolation":"$isolateMode",""" +
         f""""eps_local2":$eps2%.1f,"eps_local8":$eps8%.1f,"eps_local32":$eps32%.1f,""" +
         f""""eps_local2_median":${epsMedian(2)}%.1f,"eps_local8_median":${epsMedian(8)}%.1f,""" +
         f""""eps_local32_median":${epsMedian(32)}%.1f,""" +

@@ -182,7 +182,7 @@ object SparkEntry {
         |      FROM embeddings)
         |SELECT query_id,
         |  row_number() OVER (PARTITION BY query_id
-        |    ORDER BY list_cosine_similarity(qv, cv) DESC, nbr_id) AS rank,
+        |    ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, nbr_id) AS rank,
         |  nbr_id, round(list_cosine_similarity(qv, cv), 6) AS cosine
         |FROM q, c WHERE query_id <> nbr_id
         |QUALIFY rank <= 5""".stripMargin,
@@ -461,11 +461,11 @@ private[graft] object OracleGen {
        |  FROM bk q JOIN bk c USING (bucket)
        |  WHERE q.vec_id < $queryMax AND c.vec_id <> q.vec_id),
        |scored AS (
-       |  SELECT query_id, nbr_id, list_cosine_similarity(eq.v, ec.v) AS cos
+       |  SELECT query_id, nbr_id, round(list_cosine_similarity(eq.v, ec.v), 6) AS cos
        |  FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = nbr_id)
        |SELECT query_id,
        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rank,
-       |  nbr_id, round(cos, 6) AS cosine
+       |  nbr_id, cos AS cosine
        |FROM scored QUALIFY rank <= $k""".stripMargin
   }
 
@@ -520,13 +520,14 @@ private[graft] object OracleGen {
        |        ORDER BY list_distance(e.v, c.v), c.cell) AS rn
        |    FROM e CROSS JOIN c$iters c WHERE e.vec_id < $queryMax) WHERE rn <= $nprobe),
        |scored AS (
-       |  SELECT p.query_id, a.vec_id AS nbr_id, list_cosine_similarity(eq.v, a.v) AS cos
+       |  SELECT p.query_id, a.vec_id AS nbr_id,
+       |    round(list_cosine_similarity(eq.v, a.v), 6) AS cos
        |  FROM probes p JOIN assign a USING (cell)
        |  JOIN e eq ON eq.vec_id = p.query_id
        |  WHERE a.vec_id <> p.query_id)
        |SELECT query_id,
        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rank,
-       |  nbr_id, round(cos, 6) AS cosine
+       |  nbr_id, cos AS cosine
        |FROM scored QUALIFY rank <= $k""".stripMargin
   }
 

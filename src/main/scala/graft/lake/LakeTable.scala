@@ -81,9 +81,12 @@ final class LakeTable(spark: SparkSession, val root: String) {
       .select(snap.schema.fieldNames.map(col).toSeq: _*)
 
   /** Schema of the change feed (changesBetween / the graft-changes streaming
-    * source): the CURRENT user schema plus (`_lsn`, `_deleted`). Fixed at
-    * stream start by Structured Streaming; columns added by later schema
-    * evolution appear to a running stream only after restart.
+    * source): the CURRENT user schema plus (`_lsn`, `_deleted`, `_ver`) —
+    * `_ver` is the commit version that last modified the row, exposed
+    * deliberately (Delta CDF's `_commit_version` analog) so consumers can
+    * order/attribute deliveries. Fixed at stream start by Structured
+    * Streaming; columns added by later schema evolution appear to a running
+    * stream only after restart.
     */
   def changeFeedSchema(): StructType = storageSchema(head())
 
@@ -120,7 +123,13 @@ final class LakeTable(spark: SparkSession, val root: String) {
     val to = log.read(toVersion)
     val old = from.files.map(_.path).toSet
     val added = to.files.map(_.path).filterNot(old)
-    readStored(to, added).filter(col("_ver") > fromVersion)
+    // null _ver = a file written before commit-version stamping existed
+    // (parquet null-fills the missing column). Fail OPEN: deliver such rows
+    // rather than silently dropping pre-upgrade history — re-delivery is
+    // idempotent for a last-wins consumer, a dropped change is unrecoverable.
+    // The OR of two pushable predicates still reaches the parquet scan.
+    readStored(to, added)
+      .filter(col("_ver").isNull || col("_ver") > fromVersion)
   }
 
   /** Apply one micro-batch of change events (EventLog.eventSchema shape).

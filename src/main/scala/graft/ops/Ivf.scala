@@ -111,14 +111,15 @@ object Ivf {
       .select(col("query_id"), col("__qv"), col("__cell"))
     // a corpus row lives in exactly one cell → (query, nbr) matches at most
     // once; no dedup needed
+    // rank on the ROUNDED cosine (then id): the 6-decimal value is what any
+    // two engines agree on, so near-ties cannot rank-swap vs the oracle
     val scored = c.join(broadcast(q), Seq("__cell"))
       .filter(col("query_id") =!= col("nbr_id"))
-      .withColumn("cosine", Similarity.cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", round(Similarity.cosine(col("__qv"), col("__cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nbr_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("cosine"))
   }
 }

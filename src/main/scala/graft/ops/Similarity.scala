@@ -52,6 +52,9 @@ object Similarity {
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Query side must be small (broadcast).
+    * Ranks order on the ROUNDED cosine (then id): the emitted 6-decimal value
+    * is what any two engines agree on, so near-ties cannot rank-swap against
+    * an oracle that sums floats in a different order.
     */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
@@ -60,12 +63,12 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("nbr_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nbr_id"), round(col("cosine"), 6).as("cosine"))
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("cosine"))
   }
 
   /** Deterministic random hyperplanes: planes × dim, seeded. Small constant
@@ -80,8 +83,8 @@ object Similarity {
     * from the data; rows of any other width are rejected (not truncated).
     */
   def signBuckets(df: DataFrame, vecCol: String, idCol: String,
-                  planes: Int, seed: Long): DataFrame = {
-    val dim = embeddingDim(df, vecCol)
+                  planes: Int, seed: Long, knownDim: Option[Int] = None): DataFrame = {
+    val dim = knownDim.getOrElse(embeddingDim(df, vecCol))
     val hp = hyperplanes(planes, dim, seed)
     val v = asDouble(col(vecCol))
     val bits = (0 until planes).map { p =>
@@ -100,8 +103,9 @@ object Similarity {
     * Output is exploded: one (id, vec, bucket) row per table.
     */
   def signBucketsMulti(df: DataFrame, vecCol: String, idCol: String,
-                       planes: Int, tables: Int, seed: Long): DataFrame = {
-    val dim = embeddingDim(df, vecCol)
+                       planes: Int, tables: Int, seed: Long,
+                       knownDim: Option[Int] = None): DataFrame = {
+    val dim = knownDim.getOrElse(embeddingDim(df, vecCol))
     val v = asDouble(col(vecCol))
     val bucketCols = (0 until tables).map { t =>
       val hp = hyperplanes(planes, dim, seed + 1000L * t)
@@ -124,19 +128,24 @@ object Similarity {
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
-      k: Int = 5, planes: Int = 8, tables: Int = 8, seed: Long = 42L): DataFrame = {
-    val c = signBucketsMulti(corpus, vecCol, idCol, planes, tables, seed)
+      k: Int = 5, planes: Int = 8, tables: Int = 8, seed: Long = 42L,
+      knownDim: Option[Int] = None): DataFrame = {
+    // probe the dim ONCE (on the corpus) and share it with the query side:
+    // the probe is a full narrow aggregate scan, not something to pay twice —
+    // callers that know the declared dim pass it and pay nothing
+    val dim = Some(knownDim.getOrElse(embeddingDim(corpus, vecCol)))
+    val c = signBucketsMulti(corpus, vecCol, idCol, planes, tables, seed, dim)
       .select(col("__bucket"), col("__id").as("nbr_id"), col("__v").as("__cv"))
-    val q = signBucketsMulti(queries, vecCol, idCol, planes, tables, seed)
+    val q = signBucketsMulti(queries, vecCol, idCol, planes, tables, seed, dim)
       .select(col("__bucket"), col("__id").as("query_id"), col("__v").as("__qv"))
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .filter(col("query_id") =!= col("nbr_id"))
       .dropDuplicates("query_id", "nbr_id")
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nbr_id"), round(col("cosine"), 6).as("cosine"))
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("cosine"))
   }
 }

@@ -25,7 +25,7 @@ final case class VersionOffset(version: Long) extends OffsetV1 {
   * }}}
   *
   * Rows are [[LakeTable.changeFeedSchema]]-shaped (user columns + `_lsn`,
-  * `_deleted`); each micro-batch is `LakeTable.changesBetween(from, to)` for
+  * `_deleted`, `_ver`); each micro-batch is `LakeTable.changesBetween(from, to)` for
   * one snapshot-version window — the NET change per key, deletes as tombstone
   * rows. Generalizes the reference's daily "read the latest release and diff
   * it downstream" consumption (Borderlands src/flows/media.py:57-83) into a
@@ -115,12 +115,13 @@ final class ChangeFeedSource(
     VersionOffset(math.max(floor, capped))
   }
 
-  // legacy polling entry point (superseded by latestOffset once the engine
-  // detects SupportsAdmissionControl, but part of the v1 Source contract)
-  override def getOffset: Option[OffsetV1] = {
-    val head = table.log.latestVersion().getOrElse(return None)
-    if (head <= startVersion) None else Some(VersionOffset(head))
-  }
+  // The engine always routes admission-control sources through latestOffset;
+  // a silent getOffset fallback here would bypass maxVersionsPerTrigger and
+  // the frozen AvailableNow target, so fail loudly instead (FileStreamSource
+  // declares the same contract).
+  override def getOffset: Option[OffsetV1] =
+    throw new UnsupportedOperationException(
+      "getOffset is not supported: graft-changes implements SupportsAdmissionControl (latestOffset)")
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val fromV = start.map(o => versionOf(o)).getOrElse(startVersion)

@@ -61,7 +61,8 @@ class PlanAuditSpec extends SparkSuite {
     t.merge(ev, "e", 0)
     t.merge(ev.withColumn("lsn", lit(2L)).withColumn("content", lit("v2")), "e", 1)
     val plan = formatted(t.changesBetween(1, 2))
-    assert(plan.contains("GreaterThan(_ver,1)"), plan)
+    // the Or(IsNull, GreaterThan) legacy-null guard must still push down
+    assert(plan.contains("GreaterThan(_ver,1)") && plan.contains("PushedFilters: [Or(IsNull(_ver)"), plan)
   }
 
   test("dedupLastWinsAgg gets map-side partial aggregation") {
