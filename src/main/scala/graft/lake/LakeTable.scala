@@ -122,7 +122,15 @@ final class LakeTable(spark: SparkSession, val root: String) {
     val from = log.read(fromVersion)
     val to = log.read(toVersion)
     val old = from.files.map(_.path).toSet
-    val added = to.files.map(_.path).filterNot(old)
+    // FILE-level pruning first: a file whose footer-stat maxVer is at or
+    // below fromVersion holds only carried rows — skip it at planning time
+    // (the Iceberg data-sequence-number analog; after a compaction rewrites a
+    // mostly-cold table this is the difference between re-opening every file
+    // and touching only the files holding recently-changed keys). None =
+    // unknown stats — fail open.
+    val added = to.files
+      .filter(f => !old.contains(f.path) && f.maxVer.forall(_ > fromVersion))
+      .map(_.path)
     // null _ver = a file written before commit-version stamping existed
     // (parquet null-fills the missing column). Fail OPEN: deliver such rows
     // rather than silently dropping pre-upgrade history — re-delivery is
@@ -437,9 +445,31 @@ object LakeTable {
       else {
         val (minR, maxR) = columnBounds(blocks, "repo")
         val (minP, maxP) = columnBounds(blocks, "path")
-        Some(DataFileEntry(path, rows, minR, maxR, minP, maxP))
+        Some(DataFileEntry(path, rows, minR, maxR, minP, maxP,
+          longColumnMax(blocks, "_ver")))
       }
     } finally reader.close()
+  }
+
+  /** Max of an int64 column across a footer's blocks; None when any block
+    * lacks the stat (or the column, for pre-`_ver` files) — fail open.
+    */
+  private def longColumnMax(
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      column: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    var mx = Long.MinValue
+    var known = true
+    val it = blocks.iterator
+    while (known && it.hasNext) {
+      it.next().getColumns.asScala.find(_.getPath.toDotString == column)
+        .map(_.getStatistics) match {
+        case Some(l: org.apache.parquet.column.statistics.LongStatistics)
+          if l.hasNonNullValue => mx = math.max(mx, l.genericGetMax.longValue)
+        case _ => known = false
+      }
+    }
+    if (known && mx != Long.MinValue) Some(mx) else None
   }
 
   /** Per-file (rows, repo/path bounding box) from Parquet FOOTERS only — no

@@ -63,12 +63,17 @@ final case class Snapshot(
 /** Manifest entry with per-file key-range stats for file pruning.
   * Bounds are Options: None = unbounded on that side (stat missing, or
   * non-ASCII where Parquet's unsigned-UTF-8 stat order and JVM string order
-  * could disagree — see LakeTable.footerStats).
+  * could disagree — see LakeTable.footerStats). `maxVer` is the file's
+  * largest `_ver` (commit version of last row modification, from the footer):
+  * the change feed drops whole files with `maxVer <= fromVersion` at planning
+  * time — the Iceberg data-sequence-number pruning analog, decisive after a
+  * compaction rewrites a mostly-cold table. None = unknown (fail open).
   */
 final case class DataFileEntry(
     path: String, rows: Long,
     minRepo: Option[String], maxRepo: Option[String],
-    minPath: Option[String], maxPath: Option[String])
+    minPath: Option[String], maxPath: Option[String],
+    maxVer: Option[Long] = None)
 
 /** From-scratch Iceberg-style snapshot log over any Hadoop FileSystem.
   *
@@ -255,7 +260,8 @@ final class SnapshotLog(spark: SparkSession, root: String) {
   private def renderEntry(f: DataFileEntry): JObject =
     ("path" -> f.path) ~ ("rows" -> f.rows) ~
     ("minRepo" -> f.minRepo) ~ ("maxRepo" -> f.maxRepo) ~
-    ("minPath" -> f.minPath) ~ ("maxPath" -> f.maxPath)
+    ("minPath" -> f.minPath) ~ ("maxPath" -> f.maxPath) ~
+    ("maxVer" -> f.maxVer)
 
   private def parseEntry(f: JValue): DataFileEntry = {
     implicit val fmt: Formats = DefaultFormats
@@ -263,8 +269,13 @@ final class SnapshotLog(spark: SparkSession, root: String) {
       case JString(s) => Some(s)
       case _ => None
     }
+    val maxVer = (f \ "maxVer") match {
+      case JInt(v) => Some(v.toLong)
+      case JLong(v) => Some(v)
+      case _ => None // older manifests: unknown, fail open
+    }
     DataFileEntry((f \ "path").extract[String], (f \ "rows").extract[Long],
-      opt("minRepo"), opt("maxRepo"), opt("minPath"), opt("maxPath"))
+      opt("minRepo"), opt("maxRepo"), opt("minPath"), opt("maxPath"), maxVer)
   }
 
   private def renderSnapshot(s: Snapshot, manifests: Seq[String]): String = {

@@ -139,6 +139,29 @@ class LakeTableSpec extends SparkSuite {
     assert(afterCompact === Set("a", "x"), afterCompact.toString)
   }
 
+  test("change feed prunes whole files by manifest maxVer across a compaction") {
+    val t = freshTable()
+    // many keys spread across the range; compaction at 1 row/file isolates
+    // each key in its own file so maxVer pruning is observable per key
+    t.merge(batch((1 to 8).map(i =>
+      ev(i, "insert", s"r$i", s"p$i", s"c$i", "scala", s"v$i")): _*), "e", 0) // v1
+    t.merge(batch(ev(9, "update", "r3", "p3", "c9", "scala", "v9")), "e", 1)  // v2
+    t.compact(targetRowsPerFile = 1L)                                         // v3
+    assert(t.head().files.size >= 8)
+    // every compacted file carries a maxVer footer stat in the manifest
+    assert(t.head().files.forall(_.maxVer.isDefined))
+    val feed = t.changesBetween(2, 3)
+    // nothing changed in (2, 3] — compaction only rewrote files
+    assert(feed.count() === 0)
+    assert(feed.inputFiles.isEmpty,
+      s"expected all compacted files pruned by maxVer; scanned ${feed.inputFiles.length}")
+    // (1, 3]: only r3 changed; exactly the file(s) holding r3 are scanned
+    val feed13 = t.changesBetween(1, 3)
+    assert(feed13.select("repo").as[String].collect().toSeq === Seq("r3"))
+    assert(feed13.inputFiles.length < t.head().files.size,
+      s"expected cold files pruned; scanned ${feed13.inputFiles.length} of ${t.head().files.size}")
+  }
+
   test("time travel: readVersion returns each snapshot's live state and schema") {
     val t = freshTable()
     t.merge(batch(ev(1, "insert", "r1", "a", "c1", "scala", "v1")), "e", 0) // v1
