@@ -13,6 +13,10 @@ import graft.stream.{CdcIngest, Lineage}
   *   ingest   <eventsDir> <tableRoot> <checkpointDir> [saltBuckets] [epoch]
   *   e2e      <workDir> [numEvents]         — generate→ingest→verify vs oracle
   *   show     <tableRoot>                   — print snapshot + sample rows
+  *   feed     <tableRoot> <checkpointDir> [startingVersion] [maxVersionsPerTrigger]
+  *            — drain the committed change feed (graft-changes streaming
+  *              source) to the console; re-run with the same checkpoint to
+  *              get only NEW versions
   *   docs                                   — markdown schema docs (cli/docs.py parity)
   */
 object Main {
@@ -80,6 +84,26 @@ object Main {
         s"rows=${snap.files.map(_.rows).sum} applied=${snap.ledger.size}")
       println(snap.schema.treeString)
       t.read().orderBy(col("repo"), col("path")).show(10, 60)
+      spark.stop()
+
+    case "feed" :: tableRoot :: cp :: rest =>
+      val spark = session()
+      val start = rest.headOption.getOrElse("earliest")
+      val maxV = rest.drop(1).headOption.getOrElse("0")
+      val q = spark.readStream.format("graft-changes")
+        .option("path", tableRoot)
+        .option("startingVersion", start)
+        .option("maxVersionsPerTrigger", maxV)
+        .load()
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          println(s"--- batch $id (${b.count()} rows)")
+          b.orderBy(col("repo"), col("path")).show(20, 40)
+        }
+        .start()
+      q.awaitTermination()
       spark.stop()
 
     case "docs" :: _ =>
