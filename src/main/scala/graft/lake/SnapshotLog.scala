@@ -111,7 +111,25 @@ final class SnapshotLog(spark: SparkSession, root: String) {
   def head(): Option[Snapshot] = latestVersion().map(read)
 
   def read(version: Long): Snapshot = {
-    val txt = readText(new Path(metaDir, s"v$version.json"))
+    val txt =
+      try readText(new Path(metaDir, s"v$version.json"))
+      catch {
+        case _: java.io.FileNotFoundException =>
+          // the usual cause is a change-feed consumer resuming from a version
+          // that expireSnapshots already dropped — say so instead of leaking
+          // a raw missing-file path
+          val earliest = if (!fs.exists(metaDir)) None
+            else fs.listStatus(metaDir).map(_.getPath.getName)
+              .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+                n.stripPrefix("v").stripSuffix(".json").toLong }
+              .sorted.headOption
+          throw new IllegalStateException(
+            s"snapshot v$version does not exist at $root" +
+              earliest.fold(" (table has no snapshots)")(e =>
+                s"; earliest retained is v$e — a consumer resuming from an " +
+                "expired version must re-bootstrap (expireSnapshots keepLast " +
+                "bounds the resume horizon)"))
+      }
     parseSnapshot(txt)
   }
 

@@ -180,6 +180,17 @@ class LakeTableSpec extends SparkSuite {
     assert(t.read().count() === 0)
   }
 
+  test("feed resume from an expired snapshot fails with a clear retention error") {
+    val t = freshTable()
+    (0 until 4).foreach { i =>
+      t.merge(batch(ev(i + 1, "insert", "r1", s"f$i", s"c$i", "scala", s"v$i")), "e", i)
+    }
+    t.expireSnapshots(keepLast = 2)
+    val err = intercept[IllegalStateException](t.changesBetween(0, t.head().version))
+    assert(err.getMessage.contains("snapshot v0 does not exist"), err.getMessage)
+    assert(err.getMessage.contains("earliest retained is v3"), err.getMessage)
+  }
+
   test("delete of an absent key creates a tombstone, not a live row") {
     val t = freshTable()
     t.merge(batch(ev(1, "delete", "r9", "ghost")), "e", 0)
