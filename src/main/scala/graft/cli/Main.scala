@@ -99,8 +99,11 @@ object Main {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", cp)
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.persist() // count + show share one scan of the window
           println(s"--- batch $id (${b.count()} rows)")
           b.orderBy(col("repo"), col("path")).show(20, 40)
+          b.unpersist()
+          ()
         }
         .start()
       q.awaitTermination()

@@ -452,7 +452,11 @@ object LakeTable {
   }
 
   /** Max of an int64 column across a footer's blocks; None when any block
-    * lacks the stat (or the column, for pre-`_ver` files) — fail open.
+    * lacks the stat, lacks the column (pre-`_ver` files), or holds ANY null
+    * in it — parquet min/max stats cover only non-null values, so a block
+    * mixing null-`_ver` (pre-upgrade) rows with stamped rows has a definite
+    * max that does NOT speak for the null rows; pruning on it would drop
+    * them before the row-level `_ver IS NULL` fail-open ever ran. Fail open.
     */
   private def longColumnMax(
       blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
@@ -465,7 +469,8 @@ object LakeTable {
       it.next().getColumns.asScala.find(_.getPath.toDotString == column)
         .map(_.getStatistics) match {
         case Some(l: org.apache.parquet.column.statistics.LongStatistics)
-          if l.hasNonNullValue => mx = math.max(mx, l.genericGetMax.longValue)
+          if l.hasNonNullValue && l.isNumNullsSet && l.getNumNulls == 0 =>
+          mx = math.max(mx, l.genericGetMax.longValue)
         case _ => known = false
       }
     }

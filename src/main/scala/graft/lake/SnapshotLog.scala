@@ -100,11 +100,15 @@ final class SnapshotLog(spark: SparkSession, root: String) {
 
   def dataDir: String = new Path(root, "data").toString
 
-  def latestVersion(): Option[Long] = {
-    if (!fs.exists(metaDir)) return None
-    val vs = fs.listStatus(metaDir).map(_.getPath.getName)
+  private def listVersions(): Seq[Long] = {
+    if (!fs.exists(metaDir)) return Seq.empty
+    fs.listStatus(metaDir).map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-        n.stripPrefix("v").stripSuffix(".json").toLong }
+        n.stripPrefix("v").stripSuffix(".json").toLong }.toSeq
+  }
+
+  def latestVersion(): Option[Long] = {
+    val vs = listVersions()
     if (vs.isEmpty) None else Some(vs.max)
   }
 
@@ -114,21 +118,22 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     val txt =
       try readText(new Path(metaDir, s"v$version.json"))
       catch {
-        case _: java.io.FileNotFoundException =>
-          // the usual cause is a change-feed consumer resuming from a version
-          // that expireSnapshots already dropped — say so instead of leaking
-          // a raw missing-file path
-          val earliest = if (!fs.exists(metaDir)) None
-            else fs.listStatus(metaDir).map(_.getPath.getName)
-              .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-                n.stripPrefix("v").stripSuffix(".json").toLong }
-              .sorted.headOption
+        case e: java.io.FileNotFoundException =>
+          // distinguish the two causes instead of leaking a raw missing-file
+          // path: below the retention floor = consumer resuming from an
+          // expired snapshot; above head = stale checkpoint / wrong table
+          val vs = listVersions()
+          val detail =
+            if (vs.isEmpty) " (table has no snapshots)"
+            else if (version > vs.max)
+              s"; head is v${vs.max} — a version above head was never " +
+                "committed here (stale checkpoint or wrong table root?)"
+            else
+              s"; earliest retained is v${vs.min} — a consumer resuming " +
+                "from an expired version must re-bootstrap (expireSnapshots " +
+                "keepLast bounds the resume horizon)"
           throw new IllegalStateException(
-            s"snapshot v$version does not exist at $root" +
-              earliest.fold(" (table has no snapshots)")(e =>
-                s"; earliest retained is v$e — a consumer resuming from an " +
-                "expired version must re-bootstrap (expireSnapshots keepLast " +
-                "bounds the resume horizon)"))
+            s"snapshot v$version does not exist at $root$detail", e)
       }
     parseSnapshot(txt)
   }

@@ -189,6 +189,9 @@ class LakeTableSpec extends SparkSuite {
     val err = intercept[IllegalStateException](t.changesBetween(0, t.head().version))
     assert(err.getMessage.contains("snapshot v0 does not exist"), err.getMessage)
     assert(err.getMessage.contains("earliest retained is v3"), err.getMessage)
+    // a version above head is a different mistake and says so
+    val above = intercept[IllegalStateException](t.log.read(99))
+    assert(above.getMessage.contains("head is v4"), above.getMessage)
   }
 
   test("delete of an absent key creates a tombstone, not a live row") {
