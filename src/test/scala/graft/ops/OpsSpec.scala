@@ -259,6 +259,11 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"recall=$recall") // 8 tables × 8 planes OR-amplified
     // every LSH result must be a real corpus neighbor of the query's bucket
     assert(lsh.forall { case (q, n) => q != n })
+    // a caller-supplied dim (skipping the probe scan) gives identical results
+    val withKnownDim = Similarity.lshTopK(corpus, queries, "embedding", "vec_id",
+      k = 5, planes = 8, tables = 8, knownDim = Some(64))
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    assert(withKnownDim === lsh)
   }
 
   test("ivfTopK: k-means cells give high recall vs brute force at nprobe≪nlist") {

@@ -120,6 +120,23 @@ class ChangeFeedSourceSpec extends SparkSuite {
     assert(batches === 4)
   }
 
+  test("AvailableNow freezes the drain target: commits after prepare are not drained") {
+    val t = freshTable()
+    t.merge(batch(ev(1, "insert", "r1", "a", "c1", "scala", "v1")), "e", 0)
+    t.merge(batch(ev(2, "insert", "r1", "b", "c2", "scala", "v2")), "e", 1)
+    val src = new ChangeFeedSource(spark, t.root, tmpDir("meta"), "earliest", 1L)
+    src.prepareForTriggerAvailableNow()
+    t.merge(batch(ev(3, "insert", "r1", "c", "c3", "scala", "v3")), "e", 2) // after prepare
+    // drain loop: window by window, rate-limited to 1 version, up to the
+    // FROZEN target (v2) — v3 must not appear
+    val o1 = src.latestOffset(src.initialOffset(), src.getDefaultReadLimit)
+    assert(o1.json === "1")
+    val o2 = src.latestOffset(o1, src.getDefaultReadLimit)
+    assert(o2.json === "2")
+    val o3 = src.latestOffset(o2, src.getDefaultReadLimit)
+    assert(o3.json === "2", "drain must stop at the target frozen at prepare time")
+  }
+
   test("schema evolution: stream carries columns added before stream start") {
     val t = freshTable()
     t.merge(batch(ev(1, "insert", "r1", "a", "c1", "scala", "v1")), "e", 0)
