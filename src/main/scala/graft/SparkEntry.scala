@@ -395,17 +395,21 @@ private[graft] object OracleGen {
        |FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
        |WHERE len(list_filter(range($numHashes), i -> sa.sig[i + 1] = sb.sig[i + 1])) / $numHashes.0 >= $threshold""".stripMargin
 
-  /** Bottom-k sketch candidates + exact jaccard (mirrors
-    * DedupOps.ngramJaccardPairs): two docs are candidates iff their bottomK
-    * smallest shingle hashes intersect.
+  /** Bottom-k sketch candidates + exact jaccard over the 16-hex shingle-hash
+    * sets (mirrors DedupOps.ngramJaccardPairs): two docs are candidates iff
+    * their bottomK smallest shingle hashes intersect; verification reuses
+    * the same hash arrays (set-identical to raw-shingle Jaccard modulo a
+    * ≈ n²/2^65 per-doc 64-bit collision probability).
     */
   def ngramJaccardSql(shingleK: Int, bottomK: Int,
                       maxBucket: Int, threshold: Double): String =
     s"""WITH ${shingleCtes(shingleK)},
-       |banded AS (
-       |  SELECT doc_id, unnest(
-       |    list_sort(list_transform(sh, s -> substr(sha256(s), 1, 16)))[1:$bottomK]) AS bucket
+       |hs AS (
+       |  SELECT doc_id, list_sort(list_transform(sh, s -> substr(sha256(s), 1, 16))) AS hs
        |  FROM sh),
+       |banded AS (
+       |  SELECT doc_id, unnest(hs[1:$bottomK]) AS bucket
+       |  FROM hs),
        |capped AS (
        |  SELECT * FROM banded
        |  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY doc_id) <= $maxBucket),
@@ -414,11 +418,11 @@ private[graft] object OracleGen {
        |  FROM capped a JOIN capped b USING (bucket)
        |  WHERE a.doc_id < b.doc_id)
        |SELECT id_a, id_b,
-       |  round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-       |        len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
-       |FROM pairs JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
-       |WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-       |      len(list_distinct(list_concat(sa.sh, sb.sh))) >= $threshold""".stripMargin
+       |  round(len(list_intersect(ha.hs, hb.hs))::DOUBLE /
+       |        len(list_distinct(list_concat(ha.hs, hb.hs))), 4) AS jaccard
+       |FROM pairs JOIN hs ha ON ha.doc_id = id_a JOIN hs hb ON hb.doc_id = id_b
+       |WHERE len(list_intersect(ha.hs, hb.hs))::DOUBLE /
+       |      len(list_distinct(list_concat(ha.hs, hb.hs))) >= $threshold""".stripMargin
 
   /** Sign-LSH ANN top-k (mirrors Similarity.lshTopK): the hyperplanes are
     * SEEDED CONSTANTS (Similarity.hyperplanes, same scala.util.Random draw),

@@ -237,18 +237,29 @@ object DedupOps {
     * the first collision probability is ≈ 1-(1-j)^k per shared element, far
     * higher near the threshold than banded rows^-amplification, and it costs
     * ONE hash per shingle (a banded signature pays numHashes per shingle).
-    * Verification is exact: jac = |A∩B| / |A∪B| over distinct k-shingles.
-    * sha256-hex hashing keeps the whole pipeline DuckDB-replayable.
+    *
+    * Verification: jac = |A∩B| / |A∪B| over the 16-hex (64-bit) shingle-HASH
+    * sets — already computed for the sketch, so the whole pipeline hashes
+    * each shingle exactly once, and the verify join ships fixed-width hash
+    * arrays instead of raw shingle strings. Set semantics are identical to
+    * raw-shingle Jaccard unless two distinct shingles collide in 64 bits:
+    * P ≈ n²/2^65 per doc (n = shingles/doc; at n = 10^6 still < 10^-7), and
+    * a collision only perturbs |A∩B|/|A∪B| by ±1 element. The per-doc hash
+    * arrays are computed ONCE into a persisted frame — the naive composition
+    * re-evaluated the tokenize→shingle→hash subtree in every downstream
+    * stage (interpreted-HOF re-inlining, ~3× the whole query's cost) — and
+    * the small pair result is materialized before unpersist.
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, threshold: Double = 0.5,
       bottomK: Int = 8, maxBucket: Int = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"),
-      TextOps.shingles(col(textCol), shingleK).as("__sh"))
-    val banded = sh.select(col("__id"), explode(
-      slice(array_sort(transform(col("__sh"), s => substring(sha2(s, 256), 1, 16))),
-        1, bottomK)).as("__bucket"))
+    val hs = df.select(col(idCol).as("__id"),
+      array_sort(transform(TextOps.shingles(col(textCol), shingleK),
+        s => substring(sha2(s, 256), 1, 16))).as("__hs"))
+      .persist()
+    val banded = hs.select(col("__id"),
+      explode(slice(col("__hs"), 1, bottomK)).as("__bucket"))
     val wB = Window.partitionBy(col("__bucket")).orderBy(col("__id"))
     val capped = banded.withColumn("__bn", row_number().over(wB))
       .filter(col("__bn") <= maxBucket)
@@ -256,14 +267,17 @@ object DedupOps {
     val b = capped.select(col("__bucket"), col("__id").as("id_b"))
     val cand = a.join(b, Seq("__bucket")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-    cand
-      .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
-      .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+    val out = cand
+      .join(hs.select(col("__id").as("id_a"), col("__hs").as("__hs_a")), "id_a")
+      .join(hs.select(col("__id").as("id_b"), col("__hs").as("__hs_b")), "id_b")
       .withColumn("jaccard", round(
-        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
-        size(array_union(col("__sh_a"), col("__sh_b"))), 4))
+        size(array_intersect(col("__hs_a"), col("__hs_b"))).cast("double") /
+        size(array_union(col("__hs_a"), col("__hs_b"))), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      .localCheckpoint()
+    hs.unpersist()
+    out
   }
 
   /** Canonicalize near-duplicate clusters: every doc appearing in a pair is

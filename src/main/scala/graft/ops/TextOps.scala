@@ -170,9 +170,22 @@ object TextOps {
     * oracle re-computing shingle hashes cannot see in rendered source.
     */
   def shingles(text: Column, k: Int): Column = {
+    // k-1 zip_with passes over shifted slices (the winnow trick): the
+    // tokenizer subtree is evaluated ~k+2 times per row, where the
+    // per-window-slice form — transform(sequence(…), i => array_join(
+    // slice(toks, i+1, k))) — re-evaluated it once per WINDOW
+    // (interpreted-HOF re-inlining: measured 26× the tokenize cost at
+    // sf0.1, the single largest cost in the ngram-Jaccard pipeline).
+    // Trailing windows shorter than k keep the truncated join (zip_with
+    // null-pads; `when` keeps the accumulated prefix) and an empty token
+    // array yields [""] — exactly array_join-over-short-slice semantics,
+    // which the DuckDB oracle's array_to_string replays.
     val toks = wordTokens(text)
     val nWin = greatest(size(toks) - (k - 1), lit(1))
-    array_distinct(transform(sequence(lit(0), nWin - 1), i =>
-      array_join(slice(toks, i + 1, lit(k)), " ")))
+    val chained = (1 until k).foldLeft(slice(toks, lit(1), nWin)) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j + 1), nWin),
+        (a, b) => when(b.isNull, a).otherwise(concat(a, lit(" "), b)))
+    }
+    array_distinct(when(size(toks) === 0, array(lit(""))).otherwise(chained))
   }
 }
