@@ -767,13 +767,18 @@ object Queries {
       .select(col("repo"), col("path"), col("_lsn").as("last_lsn"),
         col("_deleted").as("deleted"),
         sha2(col("content"), 256).as("content_sha"))
-    val sink = "graft_change_feed_stream_sink"
+    // sink name suffixed per scratch dir and the temp view dropped after
+    // materializing: a FIXED queryName would silently replace the registered
+    // table on a second invocation in one session, and the memory sink's
+    // driver-held rows would otherwise outlive the query
+    val sink = s"graft_change_feed_stream_sink_${java.lang.Integer.toHexString(work.hashCode)}"
     val q = feed.writeStream.format("memory").queryName(sink)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", s"$work/cp")
       .start()
     q.awaitTermination()
-    val delivered = s.table(sink)
+    val delivered = s.table(sink).localCheckpoint() // detach from the view
+    s.catalog.dropTempView(sink)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("repo", "path").orderBy(col("last_lsn").desc)
     delivered.withColumn("__rn", row_number().over(w))

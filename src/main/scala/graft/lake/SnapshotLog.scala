@@ -112,6 +112,14 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  /** Earliest RETAINED snapshot version — the resume/`startingVersion=
+    * earliest` floor after `expireSnapshots` has dropped old versions.
+    */
+  def earliestVersion(): Option[Long] = {
+    val vs = listVersions()
+    if (vs.isEmpty) None else Some(vs.min)
+  }
+
   def head(): Option[Snapshot] = latestVersion().map(read)
 
   def read(version: Long): Snapshot = {
@@ -171,12 +179,30 @@ final class SnapshotLog(spark: SparkSession, root: String) {
   private def readManifests(names: Seq[String]): Seq[DataFileEntry] = {
     val misses = names.filterNot(manifestCache.containsKey)
     if (misses.size > 1) {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, misses.size))
+      // daemon threads: a hung object-store read must not keep the JVM alive
+      // after the driver exits (shutdown() neither interrupts nor daemonizes)
+      val tf = new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-manifest-load-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, misses.size), tf)
       try {
         val futures = misses.map(n => pool.submit(new java.util.concurrent.Callable[Unit] {
           def call(): Unit = { readManifest(n); () }
         }))
-        futures.foreach(_.get()) // propagate the first failure
+        try futures.foreach(_.get()) // propagate the first failure
+        catch { case e: java.util.concurrent.ExecutionException =>
+          // surface the REAL cause (FileNotFound, parse error, …), not the
+          // wrapper, and interrupt the remaining in-flight reads — a stuck
+          // FS call otherwise pins the pool past the failure
+          pool.shutdownNow()
+          throw Option(e.getCause).getOrElse(e)
+        }
       } finally pool.shutdown()
     }
     names.flatMap(readManifest)

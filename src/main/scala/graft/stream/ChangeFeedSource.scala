@@ -63,25 +63,48 @@ final class ChangeFeedSource(
   // "latest" resolved again on restart could pass the checkpointed first
   // window's end (from > to). The resolved value is persisted under the
   // stream's own metadata dir (the same pattern FileStreamSource/KafkaSource
-  // use for their initial offsets).
+  // use for their initial offsets). The marker is written tmp-file + rename
+  // (the HDFSMetadataLog pattern) and an empty/unparseable marker — a crash
+  // between create and close under a non-atomic writer, or a torn partial
+  // write — is treated as ABSENT and re-resolved + rewritten, never thrown
+  // on: the old create-then-write path could leave a 0-byte marker that
+  // NumberFormatException'd every restart until manual checkpoint surgery.
   private val startVersion: Long = {
     val fs = new org.apache.hadoop.fs.Path(metadataPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(metadataPath, "startVersion")
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    } else {
+    def readMarker(): Option[Long] =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        txt.toLongOption // empty/partial ⇒ None ⇒ re-resolve below
+      }
+    readMarker().getOrElse {
       val v = startingVersion match {
         case "latest" => table.head().version
-        case "earliest" => 0L
+        // earliest RETAINED version (Delta's "earliest" semantics): a feed
+        // from a table whose v0 was expired starts at the retention floor —
+        // delivering changes after that snapshot — instead of failing the
+        // first getBatch with the retention error
+        case "earliest" => table.log.earliestVersion().getOrElse(0L)
         case s => s.toLong
       }
       fs.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
-      val out = fs.create(marker, false)
+      val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+        s".startVersion.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-      v
+      // a torn marker blocks rename (HDFS/local rename won't overwrite) —
+      // clear it; readMarker() returned None so nothing valid is lost
+      if (fs.exists(marker)) fs.delete(marker, false)
+      if (!fs.rename(tmp, marker)) {
+        // lost a race with a concurrent resolver: adopt the winner's value
+        fs.delete(tmp, false)
+        readMarker().getOrElse(throw new IllegalStateException(
+          s"could not persist or read startVersion marker at $marker"))
+      } else v
     }
   }
 

@@ -59,15 +59,30 @@ object DatePaths {
     * zero-padded strings so the on-disk key matches the reference byte for
     * byte). Readers prune on the partition columns without touching data
     * files — the scale property the reference's key scheme exists for.
+    *
+    * `mode = "overwrite"` (default) uses DYNAMIC partition overwrite: only
+    * the date partitions present in `df` are replaced — the reference layout
+    * is an incremental daily-export tree, and a static overwrite of the whole
+    * directory would silently delete every partition outside `df`'s date
+    * range on a partial re-export. Pass "append" to add files to existing
+    * partitions instead.
+    *
+    * Read-back caveat: Spark's partition-column type inference parses
+    * `month=01` back as int 1; set
+    * `spark.sql.sources.partitionColumnTypeInference.enabled=false` on the
+    * reading session to keep the zero-padded strings.
     */
   def writeDatePartitioned(df: DataFrame, tsCol: String, dir: String,
                            unit: String = "day",
-                           format: String = "parquet"): Seq[String] = {
+                           format: String = "parquet",
+                           mode: String = "overwrite"): Seq[String] = {
     val parts = units.take(unitIndex(unit) + 1)
     val withKeys = parts.foldLeft(df) { (acc, u) =>
       acc.withColumn(u, date_format(col(tsCol), fmts(u)))
     }
-    withKeys.write.mode("overwrite").partitionBy(parts: _*).format(format).save(dir)
+    withKeys.write.mode(mode)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(parts: _*).format(format).save(dir)
     parts
   }
 }

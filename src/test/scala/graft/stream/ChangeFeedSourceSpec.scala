@@ -137,6 +137,38 @@ class ChangeFeedSourceSpec extends SparkSuite {
     assert(o3.json === "2", "drain must stop at the target frozen at prepare time")
   }
 
+  test("empty/torn startVersion marker is re-resolved, not thrown on") {
+    val t = freshTable()
+    t.merge(batch(ev(1, "insert", "r1", "a", "c1", "scala", "v1")), "e", 0)
+    val meta = tmpDir("meta")
+    // simulate a crash between create and close: a 0-byte marker on disk
+    val markerDir = new java.io.File(meta)
+    markerDir.mkdirs()
+    val marker = new java.io.File(markerDir, "startVersion")
+    assert(marker.createNewFile())
+    val src = new ChangeFeedSource(spark, t.root, meta, "earliest", 0L)
+    assert(src.initialOffset().json === "0") // re-resolved, not NumberFormatException
+    // and the marker was rewritten with the resolved value
+    assert(new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      .trim === "0")
+  }
+
+  test("startingVersion=earliest resolves to the earliest RETAINED version after expiry") {
+    val t = freshTable()
+    (0 until 4).foreach { i =>
+      t.merge(batch(ev(i + 1, "insert", "r1", s"f$i", s"c$i", "scala", s"v$i")), "e", i)
+    }
+    t.expireSnapshots(keepLast = 2)
+    val floor = t.log.earliestVersion().get
+    assert(floor > 0, "expiry must have dropped v0 for this test to bite")
+    // a brand-new earliest stream starts at the retention floor and drains
+    // (the old hard-coded 0 failed the first getBatch with the retention error)
+    val (rows, _) = drain(
+      readFeed(t.root, Map("startingVersion" -> "earliest")), tmpDir("ck"))
+    val expect = t.changesBetween(floor, t.head().version).collect().toSeq
+    assert(keyed(rows, cols) === keyed(expect, cols))
+  }
+
   test("schema evolution: stream carries columns added before stream start") {
     val t = freshTable()
     t.merge(batch(ev(1, "insert", "r1", "a", "c1", "scala", "v1")), "e", 0)

@@ -62,4 +62,17 @@ class DatePathsSpec extends SparkSuite {
     assert(scan.metrics("numFiles").value === 1,
       s"pruned scan should read exactly the day=02 file, read ${scan.metrics("numFiles").value}")
   }
+
+  test("partial re-export overwrites only its own date partitions (dynamic overwrite)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_datepaths_dyn").toString
+    DatePaths.writeDatePartitioned(Seq(
+      (1L, Timestamp.valueOf("2021-01-01 05:00:00")),
+      (2L, Timestamp.valueOf("2021-01-02 06:00:00"))).toDF("id", "ts"), "ts", dir)
+    // re-export ONLY day=02 with a corrected row: day=01 history must survive
+    DatePaths.writeDatePartitioned(Seq(
+      (20L, Timestamp.valueOf("2021-01-02 06:00:00"))).toDF("id", "ts"), "ts", dir)
+    val back = spark.read.parquet(dir)
+    assert(back.select("id").as[Long].collect().toSet === Set(1L, 20L),
+      "static overwrite would have deleted day=01; day=02 must hold only the re-export")
+  }
 }
