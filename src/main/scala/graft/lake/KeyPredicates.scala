@@ -1,0 +1,97 @@
+package graft.lake
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+
+/** Conservative per-column string bounds extracted from a predicate
+  * expression, for manifest file pruning ([[LakeTable.readWhere]]).
+  *
+  * Extraction is FAIL-OPEN by construction: only conjuncts whose shape is
+  * provably a bound on a requested column — `=`, `IN`, `<`, `<=`, `>`, `>=`
+  * between that column and string literals — tighten the range; everything
+  * else (OR trees, functions of the column, non-key columns, non-literal
+  * comparands, null literals) contributes no constraint. A file is skipped
+  * only when its bounding box provably cannot satisfy ALL extracted bounds,
+  * so pruning never changes query results — the same contract as Parquet
+  * row-group stats pruning. Strict bounds are treated as inclusive (a file
+  * whose max equals the strict bound survives; the row filter finishes the
+  * job).
+  *
+  * Comparisons use unsigned UTF-8 byte order ([[LakeTable.utf8Compare]]),
+  * matching both Parquet stat order and Spark's UTF8String sort order.
+  */
+private[graft] object KeyPredicates {
+
+  /** Inclusive [lower, upper] bound; None = unbounded on that side. */
+  final case class Bound(lower: Option[String], upper: Option[String]) {
+    import LakeTable.{utf8Compare => cmp}
+    def tightenLower(v: String): Bound =
+      if (lower.forall(l => cmp(v, l) > 0)) copy(lower = Some(v)) else this
+    def tightenUpper(v: String): Bound =
+      if (upper.forall(u => cmp(v, u) < 0)) copy(upper = Some(v)) else this
+
+    /** Can a file with stat range [statMin, statMax] (None = unbounded /
+      * unknown — fail open) hold a row inside this bound?
+      */
+    def overlaps(statMin: Option[String], statMax: Option[String]): Boolean = {
+      val lowOk = (lower, statMax) match {
+        case (Some(l), Some(mx)) => cmp(l, mx) <= 0
+        case _ => true
+      }
+      val highOk = (upper, statMin) match {
+        case (Some(u), Some(mn)) => cmp(mn, u) <= 0
+        case _ => true
+      }
+      lowOk && highOk
+    }
+  }
+  val unbounded: Bound = Bound(None, None)
+
+  private def nameOf(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case u: UnresolvedAttribute if u.nameParts.length == 1 => Some(u.nameParts.head)
+    case _ => None
+  }
+
+  private def strLit(e: Expression): Option[String] = e match {
+    case Literal(v, org.apache.spark.sql.types.StringType) if v != null =>
+      Some(v.toString)
+    case _ => None
+  }
+
+  /** Per-column inclusive bounds implied by `pred` for `columns`. Columns
+    * with no provable constraint map to [[unbounded]].
+    */
+  def extract(pred: Expression, columns: Seq[String]): Map[String, Bound] = {
+    var bounds = columns.map(_ -> unbounded).toMap
+    def want(e: Expression): Option[String] = nameOf(e).filter(bounds.contains)
+    def visit(e: Expression): Unit = e match {
+      case And(l, r) => visit(l); visit(r)
+      case EqualTo(a, v) if want(a).isDefined && strLit(v).isDefined =>
+        val (c, s) = (want(a).get, strLit(v).get)
+        bounds += c -> bounds(c).tightenLower(s).tightenUpper(s)
+      case EqualTo(v, a) if want(a).isDefined && strLit(v).isDefined =>
+        val (c, s) = (want(a).get, strLit(v).get)
+        bounds += c -> bounds(c).tightenLower(s).tightenUpper(s)
+      case In(a, vs) if want(a).isDefined && vs.nonEmpty && vs.forall(strLit(_).isDefined) =>
+        import LakeTable.{utf8Compare => cmp}
+        val c = want(a).get
+        val lits = vs.map(strLit(_).get)
+        bounds += c -> bounds(c)
+          .tightenLower(lits.reduce((x, y) => if (cmp(x, y) <= 0) x else y))
+          .tightenUpper(lits.reduce((x, y) => if (cmp(x, y) >= 0) x else y))
+      case GreaterThan(a, v) => lowerish(a, v); upperish(v, a)
+      case GreaterThanOrEqual(a, v) => lowerish(a, v); upperish(v, a)
+      case LessThan(a, v) => upperish(a, v); lowerish(v, a)
+      case LessThanOrEqual(a, v) => upperish(a, v); lowerish(v, a)
+      case _ => () // unknown shape: no constraint (fail open)
+    }
+    // a > lit / lit < a ⇒ lower bound on a;  a < lit / lit > a ⇒ upper bound
+    def lowerish(a: Expression, v: Expression): Unit =
+      for (c <- want(a); s <- strLit(v)) bounds += c -> bounds(c).tightenLower(s)
+    def upperish(a: Expression, v: Expression): Unit =
+      for (c <- want(a); s <- strLit(v)) bounds += c -> bounds(c).tightenUpper(s)
+    visit(pred)
+    bounds
+  }
+}

@@ -69,6 +69,42 @@ final class LakeTable(spark: SparkSession, val root: String) {
   /** User-visible table state: live rows only, engine columns hidden. */
   def read(): DataFrame = readAt(head())
 
+  /** [[read]] with MANIFEST-LEVEL file pruning driven by the predicate:
+    * conjuncts that provably bound the key columns (`repo`/`path` `=`, `IN`,
+    * range comparisons against string literals — see [[KeyPredicates]]) skip
+    * every data file whose footer-stat bounding box cannot hold a matching
+    * row, BEFORE any Spark job is planned; the full predicate then runs on
+    * the pruned scan (and pushes to Parquet row groups as usual), so results
+    * are identical to `read().filter(predicate)` for a deterministic
+    * predicate. On a compacted range-clustered table a point read touches
+    * O(1) files instead of scanning every live file — the 100×-scale
+    * difference between a key lookup and a full-table scan. Unknown
+    * predicate shapes and missing stats fail OPEN (file kept).
+    */
+  def readWhere(predicate: org.apache.spark.sql.Column): DataFrame = {
+    val snap = head()
+    // resolve the predicate against the table schema first: a raw Column in
+    // Spark 4 is a ColumnNode tree (UnresolvedFunction("=",…)), not Catalyst
+    // EqualTo/And — analyzing a Filter over an empty LocalRelation yields the
+    // resolved conjuncts KeyPredicates understands, at zero execution cost
+    val cond = {
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), snap.schema)
+      empty.filter(predicate).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(true))
+    }
+    val bounds = KeyPredicates.extract(cond, keyCols)
+    val kept = snap.files.filter { f =>
+      bounds("repo").overlaps(f.minRepo, f.maxRepo) &&
+      bounds("path").overlaps(f.minPath, f.maxPath)
+    }
+    readStored(snap, kept.map(_.path))
+      .filter(!col("_deleted"))
+      .filter(predicate)
+      .select(snap.schema.fieldNames.map(col).toSeq: _*)
+  }
+
   /** Time travel: the table as of `version` (live rows, engine columns
     * hidden, the schema AS OF that version). Any still-unexpired snapshot is
     * readable — same retention contract as the change feed.

@@ -1,0 +1,85 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.events.EventLog
+
+/** Predicate-driven manifest file pruning on the batch read path
+  * ([[LakeTable.readWhere]]): a point read on a compacted multi-file table
+  * must touch O(1) files, and every unknown predicate shape must fail OPEN
+  * with identical results to a full-scan filter.
+  */
+class ReadPruneSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ev(lsn: Long, repo: String, path: String, content: String): Row =
+    Row(lsn, 0L, new java.sql.Timestamp(1700000000000L + lsn * 1000), "insert",
+      repo, path, s"c$lsn", "scala", content, null, null)
+
+  private def batch(rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), EventLog.eventSchema)
+
+  /** 200 keys over 20 repos, compacted into ~10 range-clustered files. */
+  private def compactedTable(): LakeTable = {
+    val t = new LakeTable(spark, tmpDir("prune"))
+    t.create(LakeTable.baseSchema)
+    val rows = for (i <- 0 until 200)
+      yield ev(i + 1, f"r${i % 20}%02d", f"p$i%03d", s"v$i")
+    t.merge(batch(rows), "e", 0)
+    t.compact(targetRowsPerFile = 20)
+    t
+  }
+
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.map(_.metrics("numFiles").value).sum
+  }
+
+  test("point read on (repo, path) touches O(1) files of a compacted table") {
+    val t = compactedTable()
+    val total = t.head().files.size
+    assert(total >= 8, s"compaction should have produced many files, got $total")
+    val pred = col("repo") === "r07" && col("path") === "p007"
+    val pruned = t.readWhere(pred)
+    assert(pruned.select("content").as[String].collect().toSeq === Seq("v7"))
+    val n = scannedFiles(pruned)
+    assert(n <= 2, s"point read should touch O(1) of $total files, scanned $n")
+    // identical results to the unpruned path
+    assert(pruned.collect().toSeq === t.read().filter(pred).collect().toSeq)
+  }
+
+  test("range predicate prunes to the matching repo range") {
+    val t = compactedTable()
+    val total = t.head().files.size
+    val pred = col("repo") >= "r18"
+    val pruned = t.readWhere(pred)
+    assert(pruned.count() === t.read().filter(pred).count())
+    val n = scannedFiles(pruned)
+    assert(n < total, s"range read should skip cold files ($n of $total)")
+  }
+
+  test("IN-list bounds prune; OR and non-key predicates fail open with same results") {
+    val t = compactedTable()
+    val total = t.head().files.size
+    val inPred = col("repo").isin("r01", "r02")
+    assert(t.readWhere(inPred).count() === t.read().filter(inPred).count())
+    assert(scannedFiles(t.readWhere(inPred)) < total)
+    // OR across key columns: no provable bound — every file kept, results equal
+    val orPred = col("repo") === "r01" || col("path") === "p150"
+    assert(t.readWhere(orPred).collect().toSet === t.read().filter(orPred).collect().toSet)
+    assert(scannedFiles(t.readWhere(orPred)) === total)
+    // non-key column: no pruning, same results
+    val nk = col("content") === "v42"
+    assert(t.readWhere(nk).collect().toSeq === t.read().filter(nk).collect().toSeq)
+  }
+
+  test("contradictory bounds read zero files and return nothing") {
+    val t = compactedTable()
+    val pred = col("repo") === "r01" && col("repo") === "r19"
+    assert(t.readWhere(pred).collect().isEmpty)
+    assert(scannedFiles(t.readWhere(pred)) === 0)
+  }
+}
