@@ -73,10 +73,21 @@ object MediaFetch extends Serializable {
       .select(col("url_hash"), col("url"), col("evidence_source"))
       .as[FetchTask]
     val fetched: Dataset[FetchedRow] = toFetch.mapPartitions { it =>
-      // fixed pool per task = the semaphore: at most `concurrency` in-flight
-      // downloads, submitted as the iterator drains (a pending-media
-      // partition is bounded by construction — only null-media rows here)
-      val pool = Executors.newFixedThreadPool(concurrency)
+      // fixed pool per task = the semaphore: at most `concurrency` downloads
+      // RUN at once, and a sliding window of ≤ 2×concurrency futures is ever
+      // materialized — a huge pending partition streams through instead of
+      // holding every row's future simultaneously (the previous .toList
+      // shape). Results are yielded in submission order; daemon threads plus
+      // a task-completion listener keep an un-drained iterator (e.g. under a
+      // LIMIT) from leaking the pool.
+      val tf = new java.util.concurrent.ThreadFactory {
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, "graft-media-fetch"); t.setDaemon(true); t
+        }
+      }
+      val pool = Executors.newFixedThreadPool(concurrency, tf)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       def attempt(t: FetchTask, n: Int): FetchedRow =
         try {
@@ -89,10 +100,20 @@ object MediaFetch extends Serializable {
           case _: Exception =>
             FetchedRow(t.url_hash, t.url, t.evidence_source, null, null, "failed", n)
         }
-      val futures = it.map(t => Future(attempt(t, 1))).toList
-      val results = futures.map(Await.result(_, Duration.Inf))
-      pool.shutdown()
-      results.iterator
+      val window = concurrency * 2
+      val inFlight = scala.collection.mutable.Queue.empty[Future[FetchedRow]]
+      new Iterator[FetchedRow] {
+        def hasNext: Boolean = inFlight.nonEmpty || it.hasNext
+        def next(): FetchedRow = {
+          while (it.hasNext && inFlight.size < window) {
+            val t = it.next() // pull on THIS thread: the source iterator is
+            inFlight.enqueue(Future(attempt(t, 1))) // not safe inside the pool
+          }
+          val r = Await.result(inFlight.dequeue(), Duration.Inf)
+          if (!hasNext) pool.shutdown()
+          r
+        }
+      }
     }
 
     fetched.toDF().unionByName(cached).unionByName(noHandler)

@@ -18,14 +18,31 @@ object ReplayOracle {
     // total order
     val sorted = events.sortBy(r => (r.getLong(0), r.getLong(1)))
 
-    // first-wins column adds
+    // first-wins column adds + whitelisted type widens (mirrors the engine's
+    // schema-change handling: widen gates the PARSE type by its lsn; anything
+    // non-whitelisted is quarantined, i.e. ignored here too)
     var addLsn = Vector.empty[(String, DataType, Long)]
+    var widenAt = Map.empty[String, (Long, DataType)] // name -> (lsn, FROM type)
     for (r <- sorted if r.getString(3) == "schema_change" && !r.isNullAt(9)) {
       implicit val fmt: Formats = DefaultFormats
-      val j = JsonMethods.parse(r.getString(9)) \ "addColumn"
-      val name = (j \ "name").extract[String]
-      if (!addLsn.exists(_._1 == name) && !LakeTable.baseSchema.fieldNames.contains(name))
-        addLsn :+= ((name, LakeTable.parseTypeName((j \ "type").extract[String]), r.getLong(0)))
+      val sc = JsonMethods.parse(r.getString(9))
+      val add = sc \ "addColumn"
+      val widen = sc \ "widenColumn"
+      if (add != JNothing) {
+        val name = (add \ "name").extract[String]
+        if (!addLsn.exists(_._1 == name) && !LakeTable.baseSchema.fieldNames.contains(name))
+          addLsn :+= ((name, LakeTable.parseTypeName((add \ "type").extract[String]), r.getLong(0)))
+      } else if (widen != JNothing) {
+        val name = (widen \ "name").extract[String]
+        val target = LakeTable.parseTypeName((widen \ "type").extract[String])
+        addLsn.zipWithIndex.find(_._1._1 == name) match {
+          case Some(((_, from, at), i))
+            if from != target && LakeTable.widensTo(from, target) =>
+            widenAt += (name -> (r.getLong(0), from))
+            addLsn = addLsn.updated(i, (name, target, at))
+          case _ => () // no such column / not a safe widening: quarantined
+        }
+      }
     }
 
     // max-(lsn,event_id)-wins fold per key
@@ -48,7 +65,16 @@ object ReplayOracle {
           .getOrElse(Map.empty)
         val evolvedVals = addLsn.map { case (name, dt, at) =>
           if (r.getLong(0) > at)
-            extras.get(name).map(jv => castJ(jv, dt)).orNull
+            extras.get(name).map { jv =>
+              widenAt.get(name) match {
+                // pre-widen rows parse through the ORIGINAL type, then widen
+                // (matching both the engine's lsn-gated cast chain and how a
+                // stored pre-widen physical value reads back)
+                case Some((wLsn, from)) if r.getLong(0) <= wLsn =>
+                  widenVal(castJ(jv, from), dt)
+                case _ => castJ(jv, dt)
+              }
+            }.orNull
           else null
         }
         Row.fromSeq(Seq(r.getString(4), r.getString(5), r.getString(6),
@@ -61,8 +87,19 @@ object ReplayOracle {
       spark.sparkContext.parallelize(outRows, math.max(1, outRows.size / 10000 + 1)), schema)
   }
 
+  private def widenVal(v: Any, to: DataType): Any = (v, to) match {
+    case (null, _) => null
+    case (i: Int, LongType) => i.toLong
+    case (f: Float, DoubleType) => f.toDouble
+    case _ => v
+  }
+
   private def castJ(jv: JValue, dt: DataType): Any = (jv, dt) match {
     case (JNull, _) => null
+    case (v, FloatType) => castJ(v, DoubleType) match {
+      case d: Double => d.toFloat
+      case _ => null
+    }
     case (v, LongType) => v match {
       case JInt(i) => i.toLong
       case JLong(l) => l

@@ -17,6 +17,7 @@ final case class MergeStats(
     upserts: Long,
     deletes: Long,
     schemaChanges: Long,
+    schemaQuarantined: Long = 0L,
     noOp: Boolean)
 
 /** Copy-on-write lake table with Iceberg-style semantics, from scratch over
@@ -229,22 +230,63 @@ final class LakeTable(spark: SparkSession, val root: String) {
         math.max(r.getLong(3), scRows.lastOption.map(_.getLong(0)).getOrElse(-1L)))
     }
 
-    // ---- schema-change events: evolve schema, record add-LSN gates ----
+    // ---- schema-change events: evolve schema, record add-LSN gates.
+    // `addColumn` introduces a nullable column; `widenColumn` changes an
+    // existing column's type within the SAFE-WIDENING whitelist (int→long,
+    // float→double; a new column is already the null→anything case) —
+    // metadata-only, since Spark's Parquet reader natively reads the old
+    // physical type into the widened logical one. Narrowing / unknown types
+    // / unknown columns / unrecognized change shapes are QUARANTINED: counted
+    // into lineage and logged, never failing the stream (SURVEY §7.7(3)).
     var schema = snap.schema
     var addedAt = snap.addedAtLsn
+    var widened = snap.widenedAt
     var scApplied = 0L
+    var scQuarantined = 0L
+    def quarantine(lsn: Long, why: String): Unit = {
+      scQuarantined += 1
+      System.err.println(s"[lake] QUARANTINED schema change at lsn $lsn: $why")
+    }
     for (r <- scRows; if !r.isNullAt(1)) {
       implicit val fmt: Formats = DefaultFormats
-      val j = JsonMethods.parse(r.getString(1)) \ "addColumn"
-      val name = (j \ "name").extract[String]
-      if (!schema.fieldNames.contains(name)) {
-        val dt = parseTypeName((j \ "type").extract[String])
-        schema = StructType(schema.fields.toSeq :+ StructField(name, dt, nullable = true))
-        addedAt += (name -> r.getLong(0))
-        scApplied += 1
+      val sc = JsonMethods.parse(r.getString(1))
+      val add = sc \ "addColumn"
+      val widen = sc \ "widenColumn"
+      if (add != JNothing) {
+        val name = (add \ "name").extract[String]
+        if (!schema.fieldNames.contains(name)) {
+          val dt = parseTypeName((add \ "type").extract[String])
+          schema = StructType(schema.fields.toSeq :+ StructField(name, dt, nullable = true))
+          addedAt += (name -> r.getLong(0))
+          scApplied += 1
+        }
+      } else if (widen != JNothing) {
+        val name = (widen \ "name").extract[String]
+        val targetName = (widen \ "type").extract[String]
+        val target = try parseTypeName(targetName) catch {
+          case e: IllegalArgumentException =>
+            quarantine(r.getLong(0), e.getMessage); NullType
+        }
+        schema.fields.find(_.name == name) match {
+          case _ if target == NullType => () // already quarantined above
+          case Some(f) if f.dataType == target => () // idempotent re-apply
+          case Some(f) if widensTo(f.dataType, target) =>
+            widened += (name -> (r.getLong(0), f.dataType.typeName))
+            schema = StructType(schema.fields.toSeq.map(x =>
+              if (x.name == name) x.copy(dataType = target) else x))
+            scApplied += 1
+          case Some(f) =>
+            quarantine(r.getLong(0), s"widenColumn $name " +
+              s"${f.dataType.simpleString}→${target.simpleString} is not a safe widening")
+          case None =>
+            quarantine(r.getLong(0), s"widenColumn $name: no such column")
+        }
+      } else {
+        quarantine(r.getLong(0),
+          s"unrecognized schema_change payload: ${r.getString(1).take(120)}")
       }
     }
-    val evolved = snap.copy(schema = schema, addedAtLsn = addedAt)
+    val evolved = snap.copy(schema = schema, addedAtLsn = addedAt, widenedAt = widened)
 
     // ---- the change stream for this batch (all data events) ----
     val data = batch.filter(col("op") =!= "schema_change")
@@ -262,13 +304,23 @@ final class LakeTable(spark: SparkSession, val root: String) {
       else Salting.dedupSalted(data, keyCols, Seq(col("lsn"), col("event_id")),
         if (saltBuckets == -1) 0 else saltBuckets)
 
-    // ---- project events to storage rows (extras gated by column add-LSN) ----
+    // ---- project events to storage rows (extras gated by column add-LSN;
+    // the PARSE type of a widened column is gated by the widen LSN: a
+    // pre-widen row parses through the ORIGINAL type then widens — exactly
+    // how its stored physical value would read back — so the final table is
+    // invariant to how the log is split into batches) ----
     val srcCols = evolved.schema.fields.toSeq.map { f =>
       if (keyCols.contains(f.name)) col(f.name)
       else addedAt.get(f.name) match {
         case Some(atLsn) =>
-          when(col("lsn") > lit(atLsn) && col("op") =!= "delete",
-            get_json_object(col("extra"), s"$$.${f.name}").cast(f.dataType)).as(f.name)
+          val raw = get_json_object(col("extra"), s"$$.${f.name}")
+          val typed = widened.get(f.name) match {
+            case Some((wLsn, fromName)) =>
+              when(col("lsn") > lit(wLsn), raw.cast(f.dataType))
+                .otherwise(raw.cast(parseTypeName(fromName)).cast(f.dataType))
+            case None => raw.cast(f.dataType)
+          }
+          when(col("lsn") > lit(atLsn) && col("op") =!= "delete", typed).as(f.name)
         case None =>
           when(col("op") === "delete", lit(null).cast(f.dataType))
             .otherwise(col(f.name).cast(f.dataType)).as(f.name)
@@ -337,7 +389,8 @@ final class LakeTable(spark: SparkSession, val root: String) {
       files = snap.files.filterNot(f => touched.contains(f.path)) ++ newFiles,
       ledger = snap.ledger.add(epoch, batchId),
       parent = snap.version,
-      maxLsn = math.max(snap.maxLsn, batchMaxLsn))
+      maxLsn = math.max(snap.maxLsn, batchMaxLsn),
+      widenedAt = widened)
     log.commit(next)
 
     MergeStats(epoch, batchId, next.version,
@@ -346,6 +399,7 @@ final class LakeTable(spark: SparkSession, val root: String) {
       upserts = distinctKeys - deleteWinners,
       deletes = deleteWinners,
       schemaChanges = scApplied,
+      schemaQuarantined = scQuarantined,
       noOp = false)
   }
 
@@ -550,9 +604,21 @@ object LakeTable {
     case "string"  => StringType
     case "long" | "bigint" => LongType
     case "int" | "integer" => IntegerType
+    case "float"   => FloatType
     case "double"  => DoubleType
     case "boolean" => BooleanType
     case "timestamp" => TimestampType
     case other => throw new IllegalArgumentException(s"unsupported evolved type: $other")
+  }
+
+  /** Safe-widening whitelist (SURVEY §7.7(3)): value- and order-preserving
+    * promotions Spark's Parquet reader performs natively on the old physical
+    * type, making a widen METADATA-ONLY (no file rewrite). A new nullable
+    * column covers the null→anything case.
+    */
+  def widensTo(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case _ => false
   }
 }

@@ -50,6 +50,11 @@ object BatchLedger { val empty: BatchLedger = BatchLedger(Map.empty, Set.empty) 
   *                   .maxLsn` are exactly the rows this lineage of commits
   *                   changed — the key for incremental change-feed reads
   *                   (LakeTable.changesBetween) without scanning data files
+  * @param widenedAt  column name -> (lsn of the widenColumn change, ORIGINAL
+  *                   type name): gates the extra-payload PARSE type so replay
+  *                   is invariant to batch splits — a pre-widen row parses
+  *                   through the old type then widens, exactly as its stored
+  *                   physical value reads back
   */
 final case class Snapshot(
     version: Long,
@@ -58,7 +63,8 @@ final case class Snapshot(
     files: Seq[DataFileEntry],
     ledger: BatchLedger,
     parent: Long,
-    maxLsn: Long = -1L)
+    maxLsn: Long = -1L,
+    widenedAt: Map[String, (Long, String)] = Map.empty)
 
 /** Manifest entry with per-file key-range stats for file pruning.
   * Bounds are Options: None = unbounded on that side (stat missing, or
@@ -337,6 +343,8 @@ final class SnapshotLog(spark: SparkSession, root: String) {
       ("ledgerHwm" -> s.ledger.hwm) ~
       ("ledgerSparse" -> s.ledger.sparse.toSeq.sorted.map { case (e, b) =>
         ("epoch" -> e) ~ ("batchId" -> b) }) ~
+      ("widenedAt" -> s.widenedAt.toSeq.sortBy(_._1).map { case (n, (l, f)) =>
+        ("name" -> n) ~ ("lsn" -> l) ~ ("from" -> f) }) ~
       ("manifests" -> manifests)
     JsonMethods.compact(JsonMethods.render(json))
   }
@@ -360,6 +368,13 @@ final class SnapshotLog(spark: SparkSession, root: String) {
         case JInt(v) => v.toLong
         case JLong(v) => v
         case _ => -1L
+      },
+      widenedAt = (j \ "widenedAt") match {
+        case JArray(ws) => ws.map { w =>
+          (w \ "name").extract[String] ->
+            ((w \ "lsn").extract[Long], (w \ "from").extract[String])
+        }.toMap
+        case _ => Map.empty // pre-widening snapshots
       })
   }
 }

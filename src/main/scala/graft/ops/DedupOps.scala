@@ -19,6 +19,21 @@ import graft.functions.SimHash64.simhash64
   */
 object DedupOps {
 
+  /** NO SILENT CAPS: count the rows a `maxBucket` cap drops (and how many
+    * buckets overflowed — exactly the rows ranked cap+1) into the lineage
+    * sidecar. One extra tiny aggregate over the already-persisted signature
+    * frame, run only when a lineage sink is supplied; `numbered` is the
+    * banded frame with its `__bn` within-bucket rank. The caller flushes.
+    */
+  private def recordCapStats(lin: graft.stream.Lineage, op: String,
+                             numbered: DataFrame, maxBucket: Int): Unit = {
+    val r = numbered.agg(
+      coalesce(sum(when(col("__bn") > maxBucket, 1L)), lit(0L)),
+      coalesce(sum(when(col("__bn") === maxBucket + 1, 1L)), lit(0L))).collect()(0)
+    lin.recordOp(op, "rows_dropped_by_bucket_cap", r.getLong(0))
+    lin.recordOp(op, "buckets_capped", r.getLong(1))
+  }
+
   /** Exact dedup (hash-groupBy on sha2 of content): returns survivors —
     * the min-id row per digest. Window over digest; salting unnecessary
     * because identical docs are rare per digest (and bounded).
@@ -92,7 +107,8 @@ object DedupOps {
       df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucket: Int = 1000,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false,
+      lineage: Option[graft.stream.Lineage] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = df.select(col(idCol).as("__id"),
@@ -107,11 +123,13 @@ object DedupOps {
     val banded = sig.select(col("__id"), col("__sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), bucketOf(_))))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
-    // bound degenerate buckets (boilerplate) — dropped pairs are quarantined
-    // by count, not silently: caller can diff candidate counts via lineage
+    // bound degenerate buckets (boilerplate) — dropped rows are quarantined
+    // BY COUNT into the lineage sidecar when one is supplied (no silent caps)
     val wB = Window.partitionBy(col("__band"), col("__bucket")).orderBy(col("__id"))
     val capped = banded.withColumn("__bn", row_number().over(wB))
       .filter(col("__bn") <= maxBucket)
+    lineage.foreach(recordCapStats(_, "minhash_lsh",
+      banded.withColumn("__bn", row_number().over(wB)), maxBucket))
     // pair on bare ids (8 bytes each), join signatures back only for the
     // deduped pair set — shipping two 32-long signature arrays through the
     // bucket self-join made degenerate buckets quadratically expensive
@@ -253,7 +271,8 @@ object DedupOps {
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, threshold: Double = 0.5,
-      bottomK: Int = 8, maxBucket: Int = 1000): DataFrame = {
+      bottomK: Int = 8, maxBucket: Int = 1000,
+      lineage: Option[graft.stream.Lineage] = None): DataFrame = {
     val hs = df.select(col(idCol).as("__id"),
       array_sort(transform(TextOps.shingles(col(textCol), shingleK),
         s => substring(sha2(s, 256), 1, 16))).as("__hs"))
@@ -263,6 +282,8 @@ object DedupOps {
     val wB = Window.partitionBy(col("__bucket")).orderBy(col("__id"))
     val capped = banded.withColumn("__bn", row_number().over(wB))
       .filter(col("__bn") <= maxBucket)
+    lineage.foreach(recordCapStats(_, "ngram_jaccard",
+      banded.withColumn("__bn", row_number().over(wB)), maxBucket))
     val a = capped.select(col("__bucket"), col("__id").as("id_a"))
     val b = capped.select(col("__bucket"), col("__id").as("id_b"))
     val cand = a.join(b, Seq("__bucket")).filter(col("id_a") < col("id_b"))
@@ -285,13 +306,16 @@ object DedupOps {
     * keep-one-canonical policy applied after candidate/verify pair
     * generation.
     *
-    * Distributed min-label propagation: labels start as each node's own id;
-    * each round a node takes the min of its own and its neighbors' labels;
-    * fixpoint when the (monotonically decreasing) label sum stops moving.
-    * Rounds needed = component diameter — near-dup clusters are tiny dense
-    * cliques, so 2-3 rounds in practice; each round is ONE shuffle on node
-    * id, and labels are localCheckpoint'ed so the plan never grows with
-    * iteration count (the classic iterative-lineage blowup).
+    * Distributed min-label propagation WITH POINTER DOUBLING: labels start
+    * as each node's own id; each round a node takes the min of its own
+    * label, its neighbors' labels, and its label's label (the shortcutting
+    * step — each node's pointer chain roughly halves per round, the
+    * large-star/small-star idea), so convergence is O(log n) rounds even on
+    * chain-shaped components where plain propagation needs O(diameter).
+    * Fixpoint (min id of the connected component) is identical; fixpoint
+    * when zero labels change. Each round is two shuffles on node id, and
+    * labels are localCheckpoint'ed so the plan never grows with iteration
+    * count (the classic iterative-lineage blowup).
     */
   def canonicalClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                         maxIters: Int = 20): DataFrame = {
@@ -305,16 +329,21 @@ object DedupOps {
     // convergence = zero labels changed this round: type-agnostic (string ids
     // work), null-safe on empty edge sets (count of an empty frame is 0, where
     // a sum-of-labels fixpoint NPE'd on the null aggregate), and a component
-    // with diameter > maxIters FAILS LOUDLY instead of silently returning
-    // unconverged canonical ids
+    // needing more than maxIters doubling rounds (> 2^maxIters nodes) FAILS
+    // LOUDLY instead of silently returning unconverged canonical ids
     var it = 0
     var converged = labels.isEmpty
     while (!converged && it < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("__nbr"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val viaNbr = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"), col("label").as("__old"),
-          least(col("label"), coalesce(col("__nbr"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("__nbr"), col("label"))).as("__m"))
+      // shortcut: label ← min(label, label-of-label)
+      val l2 = labels.select(col("id").as("__lid"), col("label").as("__llab"))
+      val next = viaNbr.join(l2, col("__m") === col("__lid"), "left")
+        .select(col("id"), col("__old"),
+          least(col("__m"), coalesce(col("__llab"), col("__m"))).as("label"))
         .localCheckpoint()
       converged = next.filter(col("label") =!= col("__old")).isEmpty
       labels = next.drop("__old")

@@ -34,26 +34,52 @@ object Ivf {
       lit(0.0d), (acc, x) => acc + x)
 
   /** Centroids as a broadcastable two-column frame (__cell, __cv). */
-  private def centroidsDf(df: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-    val spark = df.sparkSession
+  private def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+                          cents: Array[Array[Double]]): DataFrame = {
     import spark.implicits._
     cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("__cell", "__cv")
   }
 
-  /** Nearest-cell assignment: broadcast-join corpus × centroids, min_by on
-    * (dist, cell) per row — deterministic tiebreak, one partial-aggregated
-    * shuffle on the row id, no vectors in the plan.
+  /** The (id, double-vec) projection every IVF stage consumes — computed and
+    * PERSISTED once per call ([[trainCentroids]]/[[ivfTopK]]): each Lloyd
+    * iteration plus the final index assignment otherwise re-reads and
+    * re-casts the whole corpus.
     */
-  private def assignCells(df: DataFrame, vecCol: String, idCol: String,
-                          cents: Array[Array[Double]]): DataFrame = {
-    val v = Similarity.asDoubleVec(col(vecCol))
-    df.select(col(idCol).as("__id"), v.as("__v"))
-      .crossJoin(broadcast(centroidsDf(df, cents)))
+  private def projected(df: DataFrame, vecCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), Similarity.asDoubleVec(col(vecCol)).as("__v"))
+
+  /** Nearest-cell assignment over a projected (__id, __v) frame:
+    * broadcast-join × centroids, min_by on (dist, cell) per row —
+    * deterministic tiebreak, one partial-aggregated shuffle on the row id,
+    * no vectors in the plan.
+    */
+  private def assignProjected(pv: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    pv.crossJoin(broadcast(centroidsDf(pv.sparkSession, cents)))
       .withColumn("__d", dist2(col("__v"), col("__cv")))
       .groupBy(col("__id"))
       .agg(min_by(struct(col("__cell"), col("__v")),
         struct(col("__d"), col("__cell"))).as("__m"))
       .select(col("__id"), col("__m.__cell").as("__cell"), col("__m.__v").as("__v"))
+
+  private def trainProjected(pv: DataFrame, idCol: String, nlist: Int,
+                             iters: Int, portable: Boolean): Array[Array[Double]] = {
+    val h = if (portable) sha2(col("__id").cast("string"), 256) else xxhash64(col("__id"))
+    var cents: Array[Array[Double]] = pv
+      .select(col("__v"), h.as("__h"), col("__id").as("__i"))
+      .orderBy(col("__h"), col("__i")).limit(nlist)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, "empty corpus")
+    for (_ <- 0 until iters) {
+      val means = assignProjected(pv, cents)
+        .select(col("__cell"), posexplode(col("__v")))
+        .groupBy(col("__cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      for (r <- means) next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      cents = next
+    }
+    cents
   }
 
   /** Lloyd iterations; empty cells keep their previous centroid. Collects
@@ -67,24 +93,9 @@ object Ivf {
   def trainCentroids(
       df: DataFrame, vecCol: String, idCol: String,
       nlist: Int, iters: Int = 3, portable: Boolean = false): Array[Array[Double]] = {
-    val v = Similarity.asDoubleVec(col(vecCol))
-    val h = if (portable) sha2(col(idCol).cast("string"), 256) else xxhash64(col(idCol))
-    var cents: Array[Array[Double]] = df
-      .select(v.as("__v"), h.as("__h"), col(idCol).as("__i"))
-      .orderBy(col("__h"), col("__i")).limit(nlist)
-      .collect().map(_.getSeq[Double](0).toArray)
-    require(cents.nonEmpty, "empty corpus")
-    for (_ <- 0 until iters) {
-      val means = assignCells(df, vecCol, idCol, cents)
-        .select(col("__cell"), posexplode(col("__v")))
-        .groupBy(col("__cell"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .collect()
-      val next = cents.map(_.clone())
-      for (r <- means) next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
-      cents = next
-    }
-    cents
+    val pv = projected(df, vecCol, idCol).persist()
+    try trainProjected(pv, idCol, nlist, iters, portable)
+    finally pv.unpersist()
   }
 
   /** IVF top-k: same output shape as Similarity.bruteForceTopK/lshTopK —
@@ -95,8 +106,13 @@ object Ivf {
       corpus: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
       k: Int = 5, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
       portable: Boolean = false): DataFrame = {
-    val cents = trainCentroids(corpus, vecCol, idCol, nlist, iters, portable)
-    val c = assignCells(corpus, vecCol, idCol, cents)
+    // ONE persisted corpus projection feeds the whole call: every Lloyd
+    // iteration plus the final index assignment (the unpersisted shape
+    // re-read and re-cast the corpus iters+1 times); the small top-k result
+    // is materialized before the cache is released.
+    val pv = projected(corpus, vecCol, idCol).persist()
+    val cents = trainProjected(pv, idCol, nlist, iters, portable)
+    val c = assignProjected(pv, cents)
       .select(col("__id").as("nbr_id"), col("__v").as("__cv"), col("__cell"))
     // query side: nprobe nearest cells via a window over the (tiny) broadcast
     // join — queries are small by contract, the window is per-query-local
@@ -104,7 +120,7 @@ object Ivf {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("__d").asc, col("__cell").asc)
     val q = queries.select(col(idCol).as("query_id"), v.as("__qv"))
-      .crossJoin(broadcast(centroidsDf(queries, cents)))
+      .crossJoin(broadcast(centroidsDf(queries.sparkSession, cents)))
       .withColumn("__d", dist2(col("__qv"), col("__cv")))
       .withColumn("__pr", row_number().over(wProbe))
       .filter(col("__pr") <= nprobe)
@@ -118,8 +134,11 @@ object Ivf {
       .withColumn("cosine", round(Similarity.cosine(col("__qv"), col("__cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    val out = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("nbr_id"), col("cosine"))
+      .localCheckpoint()
+    pv.unpersist()
+    out
   }
 }

@@ -14,8 +14,10 @@ import graft.lake.{LakeTable, MergeStats}
   * (same batchId ⇒ same files ⇒ same events) and [[LakeTable.merge]] is
   * idempotent per (epoch, batchId) via the snapshot ledger — a batch replayed
   * after a crash between merge-commit and checkpoint-commit is a no-op.
-  * `Trigger.AvailableNow` drains the log and stops, which is also the
-  * catch-up/resume mode.
+  * The default `Trigger.AvailableNow` drains the log and stops, which is
+  * also the catch-up/resume mode; pass `Trigger.ProcessingTime(...)` for the
+  * run-forever deployment mode (tail the log continuously) — pair it with a
+  * `Lineage(flushEvery = N)` so metrics land on disk while the stream runs.
   */
 final class CdcIngest(
     spark: SparkSession,
@@ -26,13 +28,14 @@ final class CdcIngest(
     maxFilesPerTrigger: Int = 4,
     saltBuckets: Int = 0,
     lineage: Option[Lineage] = None,
-    maintenance: CdcIngest.Maintenance = CdcIngest.Maintenance()) {
+    maintenance: CdcIngest.Maintenance = CdcIngest.Maintenance(),
+    trigger: Trigger = Trigger.AvailableNow()) {
 
   val table = new LakeTable(spark, tableRoot)
 
   @volatile var stats: List[MergeStats] = Nil
 
-  /** Start draining the event log; returns the running query. */
+  /** Start draining/tailing the event log; returns the running query. */
   def start(): StreamingQuery = {
     table.create(LakeTable.baseSchema)
     val stream = spark.readStream
@@ -42,7 +45,7 @@ final class CdcIngest(
       .parquet(eventsDir)
     stream.writeStream
       .queryName(s"graft-cdc-$epoch")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val st = table.merge(batch, epoch, batchId, saltBuckets)
@@ -53,8 +56,13 @@ final class CdcIngest(
       .start()
   }
 
-  /** Drain everything available and wait. */
+  /** Drain everything available and wait (AvailableNow-style triggers only —
+    * a ProcessingTime stream never terminates on its own; use [[start]] and
+    * stop it yourself).
+    */
   def runToCompletion(): List[MergeStats] = {
+    require(trigger == Trigger.AvailableNow(),
+      "runToCompletion requires Trigger.AvailableNow; a continuous trigger never terminates")
     val q = start()
     q.awaitTermination()
     lineage.foreach(_.flush())

@@ -13,11 +13,22 @@ import graft.lake.MergeStats
   * change the sidecar schema. Rows are buffered in memory and flushed once
   * per drain — a tiny single-task parquet write per BATCH would otherwise be
   * pure serial time in the ingest loop (it cost ~15% of wall at bench scale).
+  *
+  * `flushEvery` > 0 additionally flushes after every N recorded batches: a
+  * run-forever `ProcessingTime` ingest neither grows the buffer unboundedly
+  * nor loses more than the last N batches' metrics on a crash (AvailableNow
+  * drains still end with an explicit flush, so nothing is lost there).
   */
-final class Lineage(spark: SparkSession, root: String) {
+final class Lineage(spark: SparkSession, root: String, flushEvery: Int = 0) {
   import spark.implicits._
   private val dir = s"$root/lineage"
   private val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String, Long)]
+  private var sinceFlush = 0
+
+  private def batchRecorded(): Unit = {
+    sinceFlush += 1
+    if (flushEvery > 0 && sinceFlush >= flushEvery) flush()
+  }
 
   def record(st: MergeStats): Unit = synchronized {
     buf ++= Seq(
@@ -26,9 +37,18 @@ final class Lineage(spark: SparkSession, root: String) {
       ("upserts", st.upserts),
       ("deletes", st.deletes),
       ("schemaChanges", st.schemaChanges),
+      ("schemaQuarantined", st.schemaQuarantined),
       ("snapshotVersion", st.version),
       ("noOp", if (st.noOp) 1L else 0L)
     ).map { case (m, v) => (st.epoch, st.batchId, m, v) }
+    batchRecorded()
+  }
+
+  /** Operator-level counter (batch ops outside the ingest loop — e.g. dedup
+    * bucket-cap quarantine counts): epoch = operator name, batch_id = -1.
+    */
+  def recordOp(op: String, metric: String, value: Long): Unit = synchronized {
+    buf += ((op, -1L, metric, value))
   }
 
   def recordProgress(epoch: String, batchId: Long, durationMs: Long, inputRows: Long): Unit =
@@ -44,6 +64,7 @@ final class Lineage(spark: SparkSession, root: String) {
         .coalesce(1).write.mode("append").parquet(dir)
       buf.clear()
     }
+    sinceFlush = 0
   }
 
   def read(): org.apache.spark.sql.DataFrame = spark.read.parquet(dir)

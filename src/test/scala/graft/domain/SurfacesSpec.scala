@@ -128,4 +128,20 @@ class MediaFetchSpec extends SparkSuite {
     assert(FetchProbe.maxInFlight.get() >= 2,
       s"never ran concurrently: ${FetchProbe.maxInFlight.get()}")
   }
+
+  test("a huge pending partition streams through the sliding window (no per-row future buildup)") {
+    FetchProbe.reset()
+    val gauged: MediaFetch.Handler = { t =>
+      val cur = FetchProbe.inFlight.incrementAndGet()
+      FetchProbe.maxInFlight.accumulateAndGet(cur, math.max)
+      FetchProbe.inFlight.decrementAndGet()
+      (s"media/${t.evidence_source}/${t.url_hash}.bin", ".bin")
+    }
+    val n = 20000
+    val df = inv((0 until n).map(i =>
+      (s"h$i", s"http://x/$i", "s", None: Option[String])): _*).coalesce(1)
+    val out = MediaFetch.fetchAll(df, Map("s" -> gauged), concurrency = 8)
+    assert(out.filter(col("status") === "fetched").count() === n)
+    assert(FetchProbe.maxInFlight.get() <= 8)
+  }
 }

@@ -75,6 +75,53 @@ class LakeTableSpec extends SparkSuite {
     assert(t.read().count() === 1)
   }
 
+  test("type widening: mid-log widen replays identically 1-batch vs N-batch; narrowing quarantined") {
+    import org.apache.spark.sql.types._
+    val evs = Seq(
+      ev(1, "insert", "r1", "a", "c1", "scala", "v1"),
+      ev(2, "schema_change", sc = """{"addColumn":{"name":"stars","type":"int"}}"""),
+      ev(3, "update", "r1", "a", "c3", "scala", "v3", extra = """{"stars": 7}"""),
+      ev(4, "schema_change", sc = """{"addColumn":{"name":"ratio","type":"float"}}"""),
+      ev(5, "insert", "r1", "b", "c5", "scala", "v5", extra = """{"stars": 5, "ratio": 1.3}"""),
+      ev(6, "schema_change", sc = """{"widenColumn":{"name":"stars","type":"long"}}"""),
+      ev(7, "schema_change", sc = """{"widenColumn":{"name":"ratio","type":"double"}}"""),
+      ev(8, "update", "r1", "a", "c8", "scala", "v8",
+        extra = """{"stars": 9999999999, "ratio": 2.25}"""),
+      // three quarantine shapes: narrowing, unknown column, unknown payload
+      ev(9, "schema_change", sc = """{"widenColumn":{"name":"stars","type":"int"}}"""),
+      ev(10, "schema_change", sc = """{"widenColumn":{"name":"nope","type":"long"}}"""),
+      ev(11, "schema_change", sc = """{"renameColumn":{"name":"stars"}}"""))
+    def mk(kind: String, batches: Seq[Seq[Row]]): (LakeTable, Seq[MergeStats]) = {
+      val t = new LakeTable(spark, tmpDir(kind))
+      t.create(LakeTable.baseSchema)
+      val stats = batches.zipWithIndex.map { case (b, i) => t.merge(batch(b: _*), "e", i) }
+      (t, stats)
+    }
+    val (one, oneStats) = mk("wide1", Seq(evs))
+    val (many, manyStats) = mk("wideN", evs.map(Seq(_)))
+    for (t <- Seq(one, many)) {
+      val sf = t.head().schema.fields.map(f => f.name -> f.dataType).toMap
+      assert(sf("stars") === LongType && sf("ratio") === DoubleType)
+    }
+    val c = Seq("repo", "path", "content", "stars", "ratio")
+    def rows(t: LakeTable) =
+      t.read().select(c.head, c.tail: _*).collect().toSet
+    assert(rows(one) === rows(many), "batch split must not change the widened table")
+    // vs the independent fold oracle (same widen gating)
+    val oracle = graft.events.ReplayOracle.expected(spark, evs)
+      .select(c.head, c.tail: _*).collect().toSet
+    assert(rows(one) === oracle)
+    // post-widen row used the full long/double range; pre-widen row read back
+    // through its original physical type (1.3f → 1.2999999523162842)
+    val a = one.read().filter(col("path") === "a").select("stars", "ratio").head()
+    assert(a.getLong(0) === 9999999999L && a.getDouble(1) === 2.25)
+    val b = one.read().filter(col("path") === "b").select("stars", "ratio").head()
+    assert(b.getLong(0) === 5L && b.getDouble(1) === 1.3f.toDouble)
+    // quarantined changes counted (never failing the stream) in BOTH splits
+    assert(oneStats.map(_.schemaQuarantined).sum === 3)
+    assert(manyStats.map(_.schemaQuarantined).sum === 3)
+  }
+
   test("schema evolution: addColumn widens schema, old rows null, extras LSN-gated") {
     val t = freshTable()
     t.merge(batch(

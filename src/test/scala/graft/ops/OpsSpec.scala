@@ -89,6 +89,43 @@ class DedupOpsSpec extends SparkSuite {
     (4L, "completely different content about cooking pasta with tomato sauce")
   ).toDF("doc_id", "text")
 
+  test("bucket caps are not silent: degenerate corpus lands drop counts in lineage") {
+    // 40 identical docs with maxBucket=10: every bucket holds all 40 ids, so
+    // each cap drops 30 rows — the counters MUST fire
+    val degenerate = (0L until 40L).map(i => (i, "all docs share this exact text"))
+      .toDF("doc_id", "text")
+    val lin = new graft.stream.Lineage(spark, tmpDir("caplin"))
+    DedupOps.ngramJaccardPairs(degenerate, "text", "doc_id",
+      maxBucket = 10, lineage = Some(lin)).collect()
+    DedupOps.minhashLshPairs(degenerate, "text", "doc_id",
+      maxBucket = 10, lineage = Some(lin)).collect()
+    lin.flush()
+    val rows = lin.read().as[(String, Long, String, Long)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    for (op <- Seq("ngram_jaccard", "minhash_lsh")) {
+      assert(rows((op, "rows_dropped_by_bucket_cap")) > 0, s"$op drop count missing")
+      assert(rows((op, "buckets_capped")) > 0, s"$op capped-bucket count missing")
+    }
+    // and a clean corpus records zeros, not absence
+    val lin2 = new graft.stream.Lineage(spark, tmpDir("caplin2"))
+    DedupOps.ngramJaccardPairs(docs, "text", "doc_id",
+      maxBucket = 1000, lineage = Some(lin2)).collect()
+    lin2.flush()
+    val clean = lin2.read().as[(String, Long, String, Long)].collect()
+      .map(r => (r._3, r._4)).toMap
+    assert(clean("rows_dropped_by_bucket_cap") === 0L)
+  }
+
+  test("canonicalClusters converges on a 1000-node path within the default round budget") {
+    // a pure chain is the worst case for plain min propagation (diameter 999
+    // rounds); pointer doubling must land it inside maxIters = 20 ≈ log2(1000)+ε
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = DedupOps.canonicalClusters(chain)
+      .as[(Long, Long)].collect()
+    assert(got.length === 1000)
+    assert(got.forall(_._2 === 0L), "every node of the path must label to min id 0")
+  }
+
   test("exactDedup keeps min-id survivor per digest") {
     val got = DedupOps.exactDedup(docs, "text", "doc_id")
       .select("doc_id").as[Long].collect().toSet

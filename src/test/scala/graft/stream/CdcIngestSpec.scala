@@ -82,6 +82,32 @@ class CdcIngestSpec extends SparkSuite {
     assert(in.table.head().files.size < 8, s"files=${in.table.head().files.size}")
   }
 
+  test("ProcessingTime ingest flushes lineage mid-run; stopping the stream loses at most flushEvery batches") {
+    val work = tmpDir("cdcPT")
+    EventLog.write(spark, cfg, s"$work/events", 8)
+    val lin = new Lineage(spark, s"$work/table", flushEvery = 2)
+    val in = new CdcIngest(spark, s"$work/table", s"$work/events", s"$work/cp",
+      maxFilesPerTrigger = 1, lineage = Some(lin),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+    intercept[IllegalArgumentException](in.runToCompletion()) // continuous never terminates
+    val q = in.start()
+    // wait until several batches merged, then KILL the stream without flushing
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (in.stats.size < 4 && System.nanoTime() < deadline) Thread.sleep(100)
+    q.stop()
+    assert(in.stats.size >= 4, s"stream only merged ${in.stats.size} batches in 60s")
+    // periodic flush already landed rows on disk — no explicit flush() ran
+    import spark.implicits._
+    val flushedBatches = lin.read().select("batch_id").distinct().as[Long].collect().toSet
+    assert(flushedBatches.size >= 2,
+      s"expected ≥2 flushed batches mid-run, found $flushedBatches")
+    // resume in drain mode completes the replay to the oracle state
+    val resume = new CdcIngest(spark, s"$work/table", s"$work/events", s"$work/cp",
+      maxFilesPerTrigger = 1)
+    resume.runToCompletion()
+    assertSameTable(resume.table.read(), oracle)
+  }
+
   test("lineage sidecar records per-batch counters that sum to the log size") {
     val work = tmpDir("cdcL")
     val in = ingest(work, maxFiles = 2, salt = 2)
