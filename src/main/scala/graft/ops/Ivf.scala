@@ -28,10 +28,12 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Squared L2 distance between two vector columns. */
+  /** Squared L2 distance between two vector columns — the native codegen'd
+    * [[graft.functions.SquaredDistance]] kernel (bit-identical to the
+    * previous zip_with+aggregate fold: same left-to-right summation order).
+    */
   private def dist2(v: Column, c: Column): Column =
-    aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
-      lit(0.0d), (acc, x) => acc + x)
+    graft.functions.VecOps.vecSqDist(v, c)
 
   /** Centroids as a broadcastable two-column frame (__cell, __cv). */
   private def centroidsDf(spark: org.apache.spark.sql.SparkSession,

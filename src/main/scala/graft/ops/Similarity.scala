@@ -15,14 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact cosine similarity between two double arrays via zip_with +
-    * aggregate — codegen'd, no UDF.
+  /** Exact cosine similarity between two double arrays via the native
+    * codegen'd [[graft.functions.DotProduct]] kernel (whole-stage codegen,
+    * no per-row intermediate arrays; bit-identical to the previous
+    * zip_with+aggregate fold — same left-to-right summation order).
     */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
-    dot / (na * nb)
+    import graft.functions.VecOps.vecDot
+    vecDot(a, b) / (sqrt(vecDot(a, a)) * sqrt(vecDot(b, b)))
   }
 
   /** Cast an array<float>/array<numeric> embedding to array<double>. */
@@ -84,15 +84,18 @@ object Similarity {
     */
   def signBuckets(df: DataFrame, vecCol: String, idCol: String,
                   planes: Int, seed: Long, knownDim: Option[Int] = None): DataFrame = {
+    import graft.functions.VecOps.vecDot
     val dim = knownDim.getOrElse(embeddingDim(df, vecCol))
     val hp = hyperplanes(planes, dim, seed)
-    val v = asDouble(col(vecCol))
+    // stage the cast vector as a real column FIRST: it feeds every plane's
+    // dot product, and a multi-use non-cheap alias survives CollapseProject —
+    // the inline form re-evaluated the cast per plane (per table, in Multi)
+    val staged = filterDim(df, vecCol, dim)
+      .select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
     val bits = (0 until planes).map { p =>
-      val w = typedlit(hp(p).toSeq)
-      val dot = aggregate(zip_with(v, w, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(vecDot(col("__v"), typedlit(hp(p).toSeq)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
-    filterDim(df, vecCol, dim).select(col(idCol).as("__id"), v.as("__v"),
+    staged.select(col("__id"), col("__v"),
       bits.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("__bucket"))
   }
 
@@ -105,20 +108,23 @@ object Similarity {
   def signBucketsMulti(df: DataFrame, vecCol: String, idCol: String,
                        planes: Int, tables: Int, seed: Long,
                        knownDim: Option[Int] = None): DataFrame = {
+    import graft.functions.VecOps.vecDot
     val dim = knownDim.getOrElse(embeddingDim(df, vecCol))
-    val v = asDouble(col(vecCol))
+    // staged cast vector (see signBuckets): the inline form re-evaluated the
+    // array<float>→array<double> transform once per plane per table (48× at
+    // the default 6×8 geometry) through interpreted-HOF re-inlining
+    val staged = filterDim(df, vecCol, dim)
+      .select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
     val bucketCols = (0 until tables).map { t =>
       val hp = hyperplanes(planes, dim, seed + 1000L * t)
       val bits = (0 until planes).map { p =>
-        val w = typedlit(hp(p).toSeq)
-        val dot = aggregate(zip_with(v, w, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-        when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+        when(vecDot(col("__v"), typedlit(hp(p).toSeq)) >= 0, lit(1L << p)).otherwise(lit(0L))
       }
       bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
         .bitwiseOR(lit(t.toLong << 32)).as(s"__b$t")
     }
-    filterDim(df, vecCol, dim)
-      .select(col(idCol).as("__id"), v.as("__v"), array(bucketCols: _*).as("__buckets"))
+    staged
+      .select(col("__id"), col("__v"), array(bucketCols: _*).as("__buckets"))
       .select(col("__id"), col("__v"), explode(col("__buckets")).as("__bucket"))
   }
 

@@ -78,6 +78,47 @@ class SimHashSpec extends SparkSuite {
   }
 }
 
+class VecOpsSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.functions.VecOps.{vecDot, vecSqDist}
+
+  test("vec_dot / vec_sqdist match the HOF fold bit-for-bit on random vectors") {
+    val rnd = new scala.util.Random(7L)
+    val rows = Seq.fill(200)((Seq.fill(64)(rnd.nextDouble() * 2 - 1),
+                              Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val hofDot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0d), (acc, v) => acc + v)
+    val hofSq = aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, v) => acc + v)
+    val got = df.select(vecDot(col("a"), col("b")), hofDot,
+      vecSqDist(col("a"), col("b")), hofSq)
+      .as[(Double, Double, Double, Double)].collect()
+    // EXACT equality — the native kernels sum in the same left-to-right order
+    assert(got.forall(r => r._1 == r._2 && r._3 == r._4))
+  }
+
+  test("vec_dot: null element / ragged pair / empty semantics mirror the HOF") {
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)), // null elem
+      (Seq[java.lang.Double](1.0), Seq[java.lang.Double](1.0, 2.0)),       // ragged
+      (Seq.empty[java.lang.Double], Seq.empty[java.lang.Double])           // empty
+    ).toDF("a", "b")
+    val got = df.select(vecDot(col("a").cast("array<double>"), col("b").cast("array<double>")))
+      .as[Option[Double]].collect().toSeq
+    assert(got === Seq(None, None, Some(0.0)))
+  }
+
+  test("vec_dot stays in whole-stage codegen (no fallback)") {
+    val df = spark.range(3).select(
+      vecDot(array(col("id").cast("double"), lit(2.0d)),
+             array(lit(3.0d), lit(4.0d))).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [vec_dot"), plan)
+    assert(df.as[Double].collect().toSeq === Seq(8.0, 11.0, 14.0))
+  }
+}
+
 class DedupOpsSpec extends SparkSuite {
   import spark.implicits._
 
