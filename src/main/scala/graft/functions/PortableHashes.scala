@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernels for the sha256-hex "portable" hash folds — the hash space
+  * an external SQL oracle (DuckDB) can replicate bit-for-bit. The Column-API
+  * formulations run as interpreted HOF lambdas (sha2 → substring → min fold
+  * per element, with per-row intermediate arrays); these compute the same
+  * digest chains in one static call inside whole-stage codegen. Each kernel
+  * is asserted EXACTLY equal to its HOF twin in OpsSpec, and the DuckDB
+  * oracle SQL is unchanged — only the Spark-side evaluation strategy moves.
+  */
+private[graft] object Sha256 {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of sha256(utf8 bytes) — identical to Spark's sha2(s, 256). */
+  def hex(s: UTF8String): String = {
+    val d = md.get()
+    d.reset()
+    val out = d.digest(s.getBytes)
+    val cs = new Array[Char](out.length * 2)
+    var i = 0
+    while (i < out.length) {
+      cs(2 * i) = hexChars((out(i) >> 4) & 0xf)
+      cs(2 * i + 1) = hexChars(out(i) & 0xf)
+      i += 1
+    }
+    new String(cs)
+  }
+}
+
+/** Portable minhash signature over a shingle array: h_i(s) = 8-hex window i
+  * of sha256(s) ‖ sha256(s+"#") ‖ …; sig[i] = min over shingles (lexicographic
+  * on hex = UTF8 order), init "g" (sorts above every hex char). Mirrors
+  * DedupOps.minhashSignature(portable = true) exactly, including null-shingle
+  * skipping (least() ignores nulls in the fold).
+  */
+case class MinhashSigPortable(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_sig_portable"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashSigPortable.compute(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinhashSigPortable.compute($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigPortable =
+    copy(child = newChild)
+}
+
+object MinhashSigPortable {
+  def compute(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val nDigests = (numHashes + 7) / 8
+    val mins = Array.fill[String](numHashes)("g")
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val s = shingles.getUTF8String(i)
+        val sb = new java.lang.StringBuilder(nDigests * 64)
+        var j = 0
+        while (j < nDigests) {
+          val in = if (j == 0) s else UTF8String.concat(s, UTF8String.fromString("#" * j))
+          sb.append(Sha256.hex(in))
+          j += 1
+        }
+        val combined = sb.toString
+        var h = 0
+        while (h < numHashes) {
+          val w = combined.substring(h * 8, h * 8 + 8)
+          if (w.compareTo(mins(h)) < 0) mins(h) = w
+          h += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+
+  def column(shingles: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(MinhashSigPortable(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(shingles), numHashes))
+}
+
+/** Portable simhash fingerprint bits over a token array: per token the first
+  * 16 hex chars of sha256(token) contribute 4 MSB-first ±1 votes per nibble;
+  * bit b = (vote sum > 0). Mirrors DedupOps.simhashPairsPortable's vote fold
+  * exactly, including its null semantics (a null token nulls the whole
+  * signature — zip_with against a null votes array yields null).
+  */
+case class SimhashBitsPortable(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash_bits_portable"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimhashBitsPortable.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("simBits")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.SimhashBitsPortable.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashBitsPortable =
+    copy(child = newChild)
+}
+
+object SimhashBitsPortable {
+  def compute(tokens: ArrayData): ArrayData = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) return null // mirror the HOF null propagation
+      val hex = Sha256.hex(tokens.getUTF8String(i))
+      var c = 0
+      while (c < 16) {
+        val nib = Character.digit(hex.charAt(c), 16)
+        var b = 3
+        while (b >= 0) {
+          val idx = c * 4 + (3 - b)
+          if (((nib >> b) & 1) == 1) votes(idx) += 1 else votes(idx) -= 1
+          b -= 1
+        }
+        c += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(votes.map(v => (if (v > 0) 1 else 0): java.lang.Integer)
+      .asInstanceOf[Array[Any]])
+  }
+
+  def column(tokens: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(SimhashBitsPortable(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(tokens)))
+}

@@ -71,27 +71,20 @@ object DedupOps {
   def minhashSignature(text: Column, shingleK: Int, numHashes: Int,
                        portable: Boolean = false): Column = {
     val shingles = TextOps.shingles(text, shingleK)
-    val baseHashes =
-      if (portable) {
-        val nDigests = (numHashes + 7) / 8
-        transform(shingles, s => concat((0 until nDigests).map { j =>
-          if (j == 0) sha2(s, 256) else sha2(concat(s, lit("#" * j)), 256)
-        }: _*))
-      } else transform(shingles, s => xxhash64(s))
-    // "g" sorts above every hex char — the string-domain Long.MaxValue
-    val init: Column =
-      if (portable) array_repeat(lit("g"), numHashes)
-      else array_repeat(lit(Long.MaxValue), numHashes)
-    def hi(i: Column, h: Column): Column =
-      if (portable) h.substr(i * 8 + 1, lit(8))
-      else xxhash64(i, h)
-    aggregate(
-      baseHashes,
-      init,
-      (acc, h) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), i => hi(i, h)),
-        (a, b) => least(a, b)))
+    if (portable)
+      // native codegen kernel — same digest chain and 8-hex-window minima,
+      // asserted exactly equal to the HOF fold in MinhashParitySpec; the
+      // interpreted fold paid per-element lambda dispatch plus an
+      // intermediate window array per shingle
+      graft.functions.MinhashSigPortable.column(shingles, numHashes)
+    else
+      aggregate(
+        transform(shingles, s => xxhash64(s)),
+        array_repeat(lit(Long.MaxValue), numHashes),
+        (acc, h) => zip_with(
+          acc,
+          transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, h)),
+          (a, b) => least(a, b)))
   }
 
   /** MinHash LSH candidate pairs with estimated Jaccard ≥ `threshold`.
@@ -209,20 +202,11 @@ object DedupOps {
     require(maxHamming < bands,
       s"banding guarantees recall only for hamming < bands: maxHamming=$maxHamming needs > $maxHamming bands")
     val width = 64 / bands
-    // nibble → 4 MSB-first ±1 votes, as a tiny literal map (per-bit hex
-    // arithmetic per token would cost 64 interpreted ops per token)
-    val votesMap = typedlit((0 until 16).map { n =>
-      "%x".format(n) -> (3 to 0 by -1).map(b => if (((n >> b) & 1) == 1) 1 else -1)
-    }.toMap)
-    def tokenVotes(t: Column): Column =
-      flatten(transform(
-        filter(split(substring(sha2(t, 256), 1, 16), ""), c => length(c) > 0),
-        ch => element_at(votesMap, ch)))
-    val votes = aggregate(
-      TextOps.wordTokens(col(textCol)),
-      array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc, tokenVotes(t), (a, b) => a + b))
-    val bits = transform(votes, v => when(v > 0, lit(1)).otherwise(lit(0)))
+    // native codegen kernel for the sha256-nibble ±1 vote fold → 64 bits
+    // (asserted exactly equal to the HOF formulation in OpsSpec; the
+    // interpreted fold paid a 64-element zip_with per token)
+    val bits = graft.functions.SimhashBitsPortable.column(
+      TextOps.wordTokens(col(textCol)))
     val sig = df.select(col(idCol).as("__id"), bits.as("__bits")).persist()
     // band value = MSB-first fold of the band's bit slice (injective within
     // an engine is all a join key needs; width ≤ 32 keeps the fold in-range)

@@ -76,6 +76,29 @@ class ReadPruneSpec extends SparkSuite {
     assert(t.readWhere(nk).collect().toSeq === t.read().filter(nk).collect().toSeq)
   }
 
+  test("property: 60 random predicates — readWhere always equals full-scan filter") {
+    val t = compactedTable()
+    val rnd = new scala.util.Random(1234L)
+    def randLeaf(): org.apache.spark.sql.Column = rnd.nextInt(6) match {
+      case 0 => col("repo") === f"r${rnd.nextInt(22)}%02d" // sometimes absent repo
+      case 1 => col("path") >= f"p${rnd.nextInt(200)}%03d"
+      case 2 => col("repo") < f"r${rnd.nextInt(22)}%02d"
+      case 3 => col("repo").isin(Seq.fill(1 + rnd.nextInt(3))(f"r${rnd.nextInt(22)}%02d"): _*)
+      case 4 => col("content") === s"v${rnd.nextInt(220)}" // non-key (fail open)
+      case 5 => col("path") <= f"p${rnd.nextInt(200)}%03d"
+    }
+    def randPred(depth: Int): org.apache.spark.sql.Column =
+      if (depth == 0 || rnd.nextInt(3) == 0) randLeaf()
+      else if (rnd.nextBoolean()) randPred(depth - 1) && randPred(depth - 1)
+      else randPred(depth - 1) || randPred(depth - 1)
+    (1 to 60).foreach { i =>
+      val p = randPred(2)
+      val got = t.readWhere(p).collect().toSet
+      val want = t.read().filter(p).collect().toSet
+      assert(got === want, s"random predicate #$i diverged: $p")
+    }
+  }
+
   test("contradictory bounds read zero files and return nothing") {
     val t = compactedTable()
     val pred = col("repo") === "r01" && col("repo") === "r19"

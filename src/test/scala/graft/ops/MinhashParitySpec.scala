@@ -67,6 +67,47 @@ class MinhashParitySpec extends SparkSuite {
     }
   }
 
+  test("native portable kernels == the interpreted HOF formulations, exactly") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and runs far away home",
+      "der hund und die katze ist nicht da heute morgen wieder einmal",
+      "x", "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val numHashes = 16
+    // the pre-kernel HOF minhash fold, verbatim
+    val shingles = TextOps.shingles(col("text"), 3)
+    val nDigests = (numHashes + 7) / 8
+    val baseHashes = transform(shingles, s => concat((0 until nDigests).map { j =>
+      if (j == 0) sha2(s, 256) else sha2(concat(s, lit("#" * j)), 256)
+    }: _*))
+    val hofSig = aggregate(baseHashes, array_repeat(lit("g"), numHashes),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), i => h.substr(i * 8 + 1, lit(8))),
+        (a, b) => least(a, b)))
+    // the pre-kernel HOF simhash vote fold, verbatim
+    val votesMap = typedlit((0 until 16).map { n =>
+      "%x".format(n) -> (3 to 0 by -1).map(b => if (((n >> b) & 1) == 1) 1 else -1)
+    }.toMap)
+    def tokenVotes(t: org.apache.spark.sql.Column) =
+      flatten(transform(
+        filter(split(substring(sha2(t, 256), 1, 16), ""), c => length(c) > 0),
+        ch => element_at(votesMap, ch)))
+    val hofBits = transform(
+      aggregate(TextOps.wordTokens(col("text")), array_repeat(lit(0), 64),
+        (acc, t) => zip_with(acc, tokenVotes(t), (a, b) => a + b)),
+      v => when(v > 0, lit(1)).otherwise(lit(0)))
+    val rows = df.select(
+      DedupOps.minhashSignature(col("text"), 3, numHashes, portable = true),
+      hofSig,
+      graft.functions.SimhashBitsPortable.column(TextOps.wordTokens(col("text"))),
+      hofBits)
+      .as[(Seq[String], Seq[String], Seq[Int], Seq[Int])].collect()
+    rows.zipWithIndex.foreach { case ((a, b, c, d), i) =>
+      assert(a === b, s"minhash sig diverged on doc $i")
+      assert(c === d, s"simhash bits diverged on doc $i")
+    }
+  }
+
   test("portable minhash signature matches a plain-Scala oracle") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog and runs far away home",
