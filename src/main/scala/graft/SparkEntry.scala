@@ -916,6 +916,9 @@ object Queries {
     val b = t.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("ws").as("wb"))
     val jac = size(array_intersect(col("wa"), col("wb"))).cast("double") /
       size(array_union(col("wa"), col("wb")))
+    // NOTE: the filter must use the RAW value (the oracle thresholds before
+    // rounding); codegen subexpression elimination shares the set-op subtree
+    // between the fused Filter and Project, so this is one evaluation per pair
     a.join(b, Seq("lang", "source")).filter(col("id_a") < col("id_b"))
       .filter(jac >= 0.4)
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))

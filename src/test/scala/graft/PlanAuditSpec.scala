@@ -34,6 +34,39 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("text/similarity pipelines prune their scans to the consumed columns") {
+    // documents carries (doc_id, text, lang, source, n_chars); a text op must
+    // read only (doc_id, text). embeddings carries (vec_id, embedding,
+    // label); similarity must not drag `label` through the broadcast.
+    val textPlan = formatted(Queries.tokenCountQ(spark, sf))
+    val textReads = "ReadSchema: struct<(.*)>".r
+      .findAllMatchIn(textPlan).map(_.group(1)).toSeq
+    assert(textReads.nonEmpty && textReads.forall(_ == "doc_id:bigint,text:string"),
+      s"documents scan reads extra columns: $textReads\n$textPlan")
+    val simPlan = formatted(Queries.embeddingTopK(spark, sf))
+    val simReads = "ReadSchema: struct<(.*)>".r
+      .findAllMatchIn(simPlan).map(_.group(1)).toSeq
+    assert(simReads.nonEmpty && simReads.forall(_ == "vec_id:bigint,embedding:array<float>"),
+      s"embeddings scan reads extra columns: $simReads\n$simPlan")
+  }
+
+  test("readWhere pushes the key predicate into the pruned parquet scan") {
+    import spark.implicits._
+    val t = new graft.lake.LakeTable(spark, tmpDir("planprune"))
+    t.create(graft.lake.LakeTable.baseSchema)
+    val ev = Seq((1L, 1L, new java.sql.Timestamp(0L), "insert", "r1", "a", "c1",
+      "scala", "v1", null: String, null: String),
+      (2L, 2L, new java.sql.Timestamp(0L), "insert", "r2", "b", "c2",
+      "scala", "v2", null: String, null: String))
+      .toDF("lsn", "event_id", "ts", "op", "repo", "path", "commit", "lang",
+        "content", "schema_change", "extra")
+    t.merge(ev, "e", 0)
+    val plan = formatted(t.readWhere(col("repo") === "r1"))
+    // manifest-level pruning selects the files; the row-level predicate must
+    // STILL reach the parquet reader for row-group stats pruning
+    assert(plan.contains("EqualTo(repo,r1)"), plan)
+  }
+
   test("fused MERGE plan has exactly one exchange for dedup+merge+clustering") {
     // reproduce the merge's core plan shape on a standalone union
     import spark.implicits._
