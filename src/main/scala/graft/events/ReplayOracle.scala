@@ -24,25 +24,30 @@ object ReplayOracle {
     var addLsn = Vector.empty[(String, DataType, Long)]
     var widenAt = Map.empty[String, (Long, DataType)] // name -> (lsn, FROM type)
     for (r <- sorted if r.getString(3) == "schema_change" && !r.isNullAt(9)) {
-      implicit val fmt: Formats = DefaultFormats
-      val sc = JsonMethods.parse(r.getString(9))
-      val add = sc \ "addColumn"
-      val widen = sc \ "widenColumn"
-      if (add != JNothing) {
-        val name = (add \ "name").extract[String]
-        if (!addLsn.exists(_._1 == name) && !LakeTable.baseSchema.fieldNames.contains(name))
-          addLsn :+= ((name, LakeTable.parseTypeName((add \ "type").extract[String]), r.getLong(0)))
-      } else if (widen != JNothing) {
-        val name = (widen \ "name").extract[String]
-        val target = LakeTable.parseTypeName((widen \ "type").extract[String])
-        addLsn.zipWithIndex.find(_._1._1 == name) match {
-          case Some(((_, from, at), i))
-            if from != target && LakeTable.widensTo(from, target) =>
-            widenAt += (name -> (r.getLong(0), from))
-            addLsn = addLsn.updated(i, (name, target, at))
-          case _ => () // no such column / not a safe widening: quarantined
+      // any unparseable/unknown payload is IGNORED, mirroring the engine's
+      // quarantine (an oracle that throws where the engine proceeds cannot
+      // compare end states)
+      try {
+        implicit val fmt: Formats = DefaultFormats
+        val sc = JsonMethods.parse(r.getString(9))
+        val add = sc \ "addColumn"
+        val widen = sc \ "widenColumn"
+        if (add != JNothing) {
+          val name = (add \ "name").extract[String]
+          if (!addLsn.exists(_._1 == name) && !LakeTable.baseSchema.fieldNames.contains(name))
+            addLsn :+= ((name, LakeTable.parseTypeName((add \ "type").extract[String]), r.getLong(0)))
+        } else if (widen != JNothing) {
+          val name = (widen \ "name").extract[String]
+          val target = LakeTable.parseTypeName((widen \ "type").extract[String])
+          addLsn.zipWithIndex.find(_._1._1 == name) match {
+            case Some(((_, from, at), i))
+              if from != target && LakeTable.widensTo(from, target) =>
+              widenAt += (name -> (r.getLong(0), from))
+              addLsn = addLsn.updated(i, (name, target, at))
+            case _ => () // no such column / not a safe widening: quarantined
+          }
         }
-      }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
 
     // max-(lsn,event_id)-wins fold per key
@@ -60,8 +65,13 @@ object ReplayOracle {
     val outRows = winner.values.toSeq
       .filter(_.getString(3) != "delete")
       .map { r =>
+        // BigDecimal numbers: the engine casts the raw JSON token text to the
+        // column type (get_json_object(...).cast), so a float extra must
+        // round from the TEXT — parsing to double first then narrowing
+        // double-rounds and can diverge in the last ulp
         val extras: Map[String, JValue] = Option(r.getString(10))
-          .map(s => JsonMethods.parse(s).asInstanceOf[JObject].obj.toMap)
+          .map(s => JsonMethods.parse(s, useBigDecimalForDouble = true)
+            .asInstanceOf[JObject].obj.toMap)
           .getOrElse(Map.empty)
         val evolvedVals = addLsn.map { case (name, dt, at) =>
           if (r.getLong(0) > at)
@@ -96,6 +106,7 @@ object ReplayOracle {
 
   private def castJ(jv: JValue, dt: DataType): Any = (jv, dt) match {
     case (JNull, _) => null
+    case (JDecimal(d), FloatType) => d.toFloat // correctly rounded from text
     case (v, FloatType) => castJ(v, DoubleType) match {
       case d: Double => d.toFloat
       case _ => null
@@ -105,10 +116,12 @@ object ReplayOracle {
       case JLong(l) => l
       case JString(s) => s.toLong
       case JDouble(d) => d.toLong
+      case JDecimal(d) => d.toLong
       case _ => null
     }
     case (v, DoubleType) => v match {
       case JDouble(d) => d
+      case JDecimal(d) => d.toDouble
       case JInt(i) => i.toDouble
       case JLong(l) => l.toDouble
       case JString(s) => s.toDouble

@@ -100,10 +100,7 @@ final class LakeTable(spark: SparkSession, val root: String) {
       bounds("repo").overlaps(f.minRepo, f.maxRepo) &&
       bounds("path").overlaps(f.minPath, f.maxPath)
     }
-    readStored(snap, kept.map(_.path))
-      .filter(!col("_deleted"))
-      .filter(predicate)
-      .select(snap.schema.fieldNames.map(col).toSeq: _*)
+    readAt(snap, kept.map(_.path)).filter(predicate)
   }
 
   /** Time travel: the table as of `version` (live rows, engine columns
@@ -113,7 +110,14 @@ final class LakeTable(spark: SparkSession, val root: String) {
   def readVersion(version: Long): DataFrame = readAt(log.read(version))
 
   private def readAt(snap: Snapshot): DataFrame =
-    readStored(snap, snap.files.map(_.path))
+    readAt(snap, snap.files.map(_.path))
+
+  /** Live rows of `files` under `snap`'s schema, engine columns hidden —
+    * the single place the hidden-column/tombstone-filter logic lives, shared
+    * by full reads and pruned reads.
+    */
+  private def readAt(snap: Snapshot, files: Seq[String]): DataFrame =
+    readStored(snap, files)
       .filter(!col("_deleted"))
       .select(snap.schema.fieldNames.map(col).toSeq: _*)
 
@@ -248,42 +252,48 @@ final class LakeTable(spark: SparkSession, val root: String) {
       System.err.println(s"[lake] QUARANTINED schema change at lsn $lsn: $why")
     }
     for (r <- scRows; if !r.isNullAt(1)) {
-      implicit val fmt: Formats = DefaultFormats
-      val sc = JsonMethods.parse(r.getString(1))
-      val add = sc \ "addColumn"
-      val widen = sc \ "widenColumn"
-      if (add != JNothing) {
-        val name = (add \ "name").extract[String]
-        if (!schema.fieldNames.contains(name)) {
-          val dt = parseTypeName((add \ "type").extract[String])
-          schema = StructType(schema.fields.toSeq :+ StructField(name, dt, nullable = true))
-          addedAt += (name -> r.getLong(0))
-          scApplied += 1
-        }
-      } else if (widen != JNothing) {
-        val name = (widen \ "name").extract[String]
-        val targetName = (widen \ "type").extract[String]
-        val target = try parseTypeName(targetName) catch {
-          case e: IllegalArgumentException =>
-            quarantine(r.getLong(0), e.getMessage); NullType
-        }
-        schema.fields.find(_.name == name) match {
-          case _ if target == NullType => () // already quarantined above
-          case Some(f) if f.dataType == target => () // idempotent re-apply
-          case Some(f) if widensTo(f.dataType, target) =>
-            widened += (name -> (r.getLong(0), f.dataType.typeName))
-            schema = StructType(schema.fields.toSeq.map(x =>
-              if (x.name == name) x.copy(dataType = target) else x))
+      // EVERY failure mode of a schema-change payload quarantines — malformed
+      // JSON, missing fields, unknown type names — never poisons the stream
+      // (an uncaught throw here would fail the micro-batch, and the same
+      // batch redelivers forever on restart)
+      try {
+        implicit val fmt: Formats = DefaultFormats
+        val sc = JsonMethods.parse(r.getString(1))
+        val add = sc \ "addColumn"
+        val widen = sc \ "widenColumn"
+        if (add != JNothing) {
+          val name = (add \ "name").extract[String]
+          if (!schema.fieldNames.contains(name)) {
+            val dt = parseTypeName((add \ "type").extract[String])
+            schema = StructType(schema.fields.toSeq :+ StructField(name, dt, nullable = true))
+            addedAt += (name -> r.getLong(0))
             scApplied += 1
-          case Some(f) =>
-            quarantine(r.getLong(0), s"widenColumn $name " +
-              s"${f.dataType.simpleString}→${target.simpleString} is not a safe widening")
-          case None =>
-            quarantine(r.getLong(0), s"widenColumn $name: no such column")
+          }
+        } else if (widen != JNothing) {
+          val name = (widen \ "name").extract[String]
+          val target = parseTypeName((widen \ "type").extract[String])
+          schema.fields.find(_.name == name) match {
+            case Some(f) if f.dataType == target => () // idempotent re-apply
+            case Some(f) if widensTo(f.dataType, target) =>
+              widened += (name -> (r.getLong(0), f.dataType.typeName))
+              schema = StructType(schema.fields.toSeq.map(x =>
+                if (x.name == name) x.copy(dataType = target) else x))
+              scApplied += 1
+            case Some(f) =>
+              quarantine(r.getLong(0), s"widenColumn $name " +
+                s"${f.dataType.simpleString}→${target.simpleString} is not a safe widening")
+            case None =>
+              quarantine(r.getLong(0), s"widenColumn $name: no such column")
+          }
+        } else {
+          quarantine(r.getLong(0),
+            s"unrecognized schema_change payload: ${r.getString(1).take(120)}")
         }
-      } else {
-        quarantine(r.getLong(0),
-          s"unrecognized schema_change payload: ${r.getString(1).take(120)}")
+      } catch {
+        case e @ (_: IllegalArgumentException | _: MappingException) =>
+          quarantine(r.getLong(0), s"${e.getMessage} (payload: ${r.getString(1).take(120)})")
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          quarantine(r.getLong(0), s"malformed JSON: ${r.getString(1).take(120)}")
       }
     }
     val evolved = snap.copy(schema = schema, addedAtLsn = addedAt, widenedAt = widened)

@@ -107,6 +107,7 @@ object DedupOps {
     val sig = df.select(col(idCol).as("__id"),
       minhashSignature(col(textCol), shingleK, numHashes, portable).as("__sig"))
       .persist()
+    try {
     // band buckets: hash of each signature slice
     def bucketOf(b: Column): Column =
       if (portable)
@@ -119,10 +120,9 @@ object DedupOps {
     // bound degenerate buckets (boilerplate) — dropped rows are quarantined
     // BY COUNT into the lineage sidecar when one is supplied (no silent caps)
     val wB = Window.partitionBy(col("__band"), col("__bucket")).orderBy(col("__id"))
-    val capped = banded.withColumn("__bn", row_number().over(wB))
-      .filter(col("__bn") <= maxBucket)
-    lineage.foreach(recordCapStats(_, "minhash_lsh",
-      banded.withColumn("__bn", row_number().over(wB)), maxBucket))
+    val numbered = banded.withColumn("__bn", row_number().over(wB))
+    val capped = numbered.filter(col("__bn") <= maxBucket)
+    lineage.foreach(recordCapStats(_, "minhash_lsh", numbered, maxBucket))
     // pair on bare ids (8 bytes each), join signatures back only for the
     // deduped pair set — shipping two 32-long signature arrays through the
     // bucket self-join made degenerate buckets quadratically expensive
@@ -135,12 +135,11 @@ object DedupOps {
       .join(sig.select(col("__id").as("id_b"), col("__sig").as("__sig_b")), "id_b")
     val est = size(filter(zip_with(col("__sig_a"), col("__sig_b"), (x, y) => x === y),
       m => m)).cast("double") / numHashes
-    val out = withSigs.withColumn("est_jaccard", round(est, 4))
+    withSigs.withColumn("est_jaccard", round(est, 4))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
       .localCheckpoint()
-    sig.unpersist()
-    out
+    } finally sig.unpersist() // cache must not outlive the op, even on failure
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprint (native Catalyst expression),
@@ -165,6 +164,7 @@ object DedupOps {
     val sig = df.select(col(idCol).as("__id"),
       simhash64(TextOps.wordTokens(col(textCol))).as("__sim"))
       .persist()
+    try {
     val banded = sig.select(col("__id"),
       posexplode(array((0 until bands).map(i =>
         shiftrightunsigned(col("__sim"), i * width).bitwiseAND(mask)): _*)))
@@ -173,15 +173,14 @@ object DedupOps {
     val b = banded.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
     val pairs = a.join(b, Seq("__band", "__bucket")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-    val out = pairs
+    pairs
       .join(sig.select(col("__id").as("id_a"), col("__sim").as("__sim_a")), "id_a")
       .join(sig.select(col("__id").as("id_b"), col("__sim").as("__sim_b")), "id_b")
       .withColumn("hamming", bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
       .localCheckpoint()
-    sig.unpersist()
-    out
+    } finally sig.unpersist()
   }
 
   /** [[simhashPairs]] in a hash space DuckDB can replicate: per-token bit
@@ -208,6 +207,7 @@ object DedupOps {
     val bits = graft.functions.SimhashBitsPortable.column(
       TextOps.wordTokens(col(textCol)))
     val sig = df.select(col(idCol).as("__id"), bits.as("__bits")).persist()
+    try {
     // band value = MSB-first fold of the band's bit slice (injective within
     // an engine is all a join key needs; width ≤ 32 keeps the fold in-range)
     def bandVal(b: Column): Column =
@@ -222,15 +222,14 @@ object DedupOps {
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
     val ham = size(filter(zip_with(col("__bits_a"), col("__bits_b"),
       (x, y) => x =!= y), m => m))
-    val out = pairs
+    pairs
       .join(sig.select(col("__id").as("id_a"), col("__bits").as("__bits_a")), "id_a")
       .join(sig.select(col("__id").as("id_b"), col("__bits").as("__bits_b")), "id_b")
       .withColumn("hamming", ham.cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .localCheckpoint()
-    sig.unpersist()
-    out
+    } finally sig.unpersist()
   }
 
   /** Exact n-gram Jaccard on bottom-k-sketch candidates. Candidate stage:
@@ -261,18 +260,18 @@ object DedupOps {
       array_sort(transform(TextOps.shingles(col(textCol), shingleK),
         s => substring(sha2(s, 256), 1, 16))).as("__hs"))
       .persist()
+    try {
     val banded = hs.select(col("__id"),
       explode(slice(col("__hs"), 1, bottomK)).as("__bucket"))
     val wB = Window.partitionBy(col("__bucket")).orderBy(col("__id"))
-    val capped = banded.withColumn("__bn", row_number().over(wB))
-      .filter(col("__bn") <= maxBucket)
-    lineage.foreach(recordCapStats(_, "ngram_jaccard",
-      banded.withColumn("__bn", row_number().over(wB)), maxBucket))
+    val numbered = banded.withColumn("__bn", row_number().over(wB))
+    val capped = numbered.filter(col("__bn") <= maxBucket)
+    lineage.foreach(recordCapStats(_, "ngram_jaccard", numbered, maxBucket))
     val a = capped.select(col("__bucket"), col("__id").as("id_a"))
     val b = capped.select(col("__bucket"), col("__id").as("id_b"))
     val cand = a.join(b, Seq("__bucket")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-    val out = cand
+    cand
       .join(hs.select(col("__id").as("id_a"), col("__hs").as("__hs_a")), "id_a")
       .join(hs.select(col("__id").as("id_b"), col("__hs").as("__hs_b")), "id_b")
       .withColumn("jaccard", round(
@@ -281,8 +280,7 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .localCheckpoint()
-    hs.unpersist()
-    out
+    } finally hs.unpersist()
   }
 
   /** Canonicalize near-duplicate clusters: every doc appearing in a pair is

@@ -63,7 +63,7 @@ object Ivf {
         struct(col("__d"), col("__cell"))).as("__m"))
       .select(col("__id"), col("__m.__cell").as("__cell"), col("__m.__v").as("__v"))
 
-  private def trainProjected(pv: DataFrame, idCol: String, nlist: Int,
+  private def trainProjected(pv: DataFrame, nlist: Int,
                              iters: Int, portable: Boolean): Array[Array[Double]] = {
     val h = if (portable) sha2(col("__id").cast("string"), 256) else xxhash64(col("__id"))
     var cents: Array[Array[Double]] = pv
@@ -96,7 +96,7 @@ object Ivf {
       df: DataFrame, vecCol: String, idCol: String,
       nlist: Int, iters: Int = 3, portable: Boolean = false): Array[Array[Double]] = {
     val pv = projected(df, vecCol, idCol).persist()
-    try trainProjected(pv, idCol, nlist, iters, portable)
+    try trainProjected(pv, nlist, iters, portable)
     finally pv.unpersist()
   }
 
@@ -113,7 +113,8 @@ object Ivf {
     // re-read and re-cast the corpus iters+1 times); the small top-k result
     // is materialized before the cache is released.
     val pv = projected(corpus, vecCol, idCol).persist()
-    val cents = trainProjected(pv, idCol, nlist, iters, portable)
+    try {
+    val cents = trainProjected(pv, nlist, iters, portable)
     val c = assignProjected(pv, cents)
       .select(col("__id").as("nbr_id"), col("__v").as("__cv"), col("__cell"))
     // query side: nprobe nearest cells via a window over the (tiny) broadcast
@@ -136,11 +137,10 @@ object Ivf {
       .withColumn("cosine", round(Similarity.cosine(col("__qv"), col("__cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
-    val out = scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("nbr_id"), col("cosine"))
       .localCheckpoint()
-    pv.unpersist()
-    out
+    } finally pv.unpersist()
   }
 }

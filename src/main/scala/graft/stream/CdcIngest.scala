@@ -33,6 +33,13 @@ final class CdcIngest(
 
   val table = new LakeTable(spark, tableRoot)
 
+  // A drain (AvailableNow) keeps every batch's stats for its caller; a
+  // run-forever ProcessingTime stream keeps only the most recent window —
+  // an unbounded driver-side list would grow for weeks in exactly the mode
+  // that never returns them (durable metrics go through Lineage.flushEvery).
+  private val maxRetainedStats =
+    if (trigger == Trigger.AvailableNow()) Int.MaxValue else 1024
+
   @volatile var stats: List[MergeStats] = Nil
 
   /** Start draining/tailing the event log; returns the running query. */
@@ -49,7 +56,8 @@ final class CdcIngest(
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val st = table.merge(batch, epoch, batchId, saltBuckets)
-        stats = st :: stats
+        stats = if (maxRetainedStats == Int.MaxValue) st :: stats
+                else st :: stats.take(maxRetainedStats - 1)
         lineage.foreach(_.record(st))
         maintenance.maybeRun(table, batchId)
       }

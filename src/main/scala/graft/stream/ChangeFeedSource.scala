@@ -96,15 +96,23 @@ final class ChangeFeedSource(
         s".startVersion.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, true)
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-      // a torn marker blocks rename (HDFS/local rename won't overwrite) —
-      // clear it; readMarker() returned None so nothing valid is lost
-      if (fs.exists(marker)) fs.delete(marker, false)
-      if (!fs.rename(tmp, marker)) {
-        // lost a race with a concurrent resolver: adopt the winner's value
-        fs.delete(tmp, false)
-        readMarker().getOrElse(throw new IllegalStateException(
-          s"could not persist or read startVersion marker at $marker"))
-      } else v
+      // a torn marker blocks rename (HDFS/local rename won't overwrite).
+      // RE-READ before clearing: a concurrent resolver may have replaced the
+      // torn marker with a VALID one since our first read — deleting that
+      // would let two resolvers disagree; adopt the winner's value instead.
+      readMarker() match {
+        case Some(winner) =>
+          fs.delete(tmp, false)
+          winner
+        case None =>
+          if (fs.exists(marker)) fs.delete(marker, false) // still torn: clear
+          if (!fs.rename(tmp, marker)) {
+            // lost the rename race: adopt whatever the winner persisted
+            fs.delete(tmp, false)
+            readMarker().getOrElse(throw new IllegalStateException(
+              s"could not persist or read startVersion marker at $marker"))
+          } else v
+      }
     }
   }
 

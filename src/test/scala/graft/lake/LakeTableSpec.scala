@@ -87,10 +87,15 @@ class LakeTableSpec extends SparkSuite {
       ev(7, "schema_change", sc = """{"widenColumn":{"name":"ratio","type":"double"}}"""),
       ev(8, "update", "r1", "a", "c8", "scala", "v8",
         extra = """{"stars": 9999999999, "ratio": 2.25}"""),
-      // three quarantine shapes: narrowing, unknown column, unknown payload
+      // six quarantine shapes: narrowing, unknown column, unknown payload,
+      // malformed JSON, unknown type name, missing field — NONE may fail
+      // the stream
       ev(9, "schema_change", sc = """{"widenColumn":{"name":"stars","type":"int"}}"""),
       ev(10, "schema_change", sc = """{"widenColumn":{"name":"nope","type":"long"}}"""),
-      ev(11, "schema_change", sc = """{"renameColumn":{"name":"stars"}}"""))
+      ev(11, "schema_change", sc = """{"renameColumn":{"name":"stars"}}"""),
+      ev(12, "schema_change", sc = """{{{not json"""),
+      ev(13, "schema_change", sc = """{"addColumn":{"name":"bad","type":"decimal"}}"""),
+      ev(14, "schema_change", sc = """{"widenColumn":{"name":"stars"}}"""))
     def mk(kind: String, batches: Seq[Seq[Row]]): (LakeTable, Seq[MergeStats]) = {
       val t = new LakeTable(spark, tmpDir(kind))
       t.create(LakeTable.baseSchema)
@@ -118,8 +123,8 @@ class LakeTableSpec extends SparkSuite {
     val b = one.read().filter(col("path") === "b").select("stars", "ratio").head()
     assert(b.getLong(0) === 5L && b.getDouble(1) === 1.3f.toDouble)
     // quarantined changes counted (never failing the stream) in BOTH splits
-    assert(oneStats.map(_.schemaQuarantined).sum === 3)
-    assert(manyStats.map(_.schemaQuarantined).sum === 3)
+    assert(oneStats.map(_.schemaQuarantined).sum === 6)
+    assert(manyStats.map(_.schemaQuarantined).sum === 6)
   }
 
   test("schema evolution: addColumn widens schema, old rows null, extras LSN-gated") {
