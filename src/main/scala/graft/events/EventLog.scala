@@ -46,6 +46,10 @@ object EventLog {
       deleteRatio: Double = 0.05,
       duplicateRate: Double = 0.02,
       schemaChangeLsns: Seq[Long] = Seq.empty,
+      // lsns carrying {"widenColumn":{"name":"stars","type":"long"}} — stars
+      // is ADDED as int, so a widen lsn after its add exercises the
+      // metadata-only widening path (and one before it, the quarantine path)
+      widenLsns: Seq[Long] = Seq.empty,
       seed: Long = 42L)
 
   /** Pseudo-random double in [0,1) from (seed, id, tag) — pure expression. */
@@ -68,8 +72,11 @@ object EventLog {
     val pathId = pmod(xxhash64(lit(cfg.seed), id, lit("path")), lit(cfg.pathsPerRepo.toLong))
 
     val opR = rnd(id, cfg.seed, "op")
-    val isSchemaChange = if (cfg.schemaChangeLsns.nonEmpty)
-      id.isin(cfg.schemaChangeLsns.map(Long.box): _*) else lit(false)
+    val allScLsns = cfg.schemaChangeLsns ++ cfg.widenLsns
+    val isSchemaChange = if (allScLsns.nonEmpty)
+      id.isin(allScLsns.map(Long.box): _*) else lit(false)
+    val isWiden = if (cfg.widenLsns.nonEmpty)
+      id.isin(cfg.widenLsns.map(Long.box): _*) else lit(false)
     val op = when(isSchemaChange, lit("schema_change"))
       .when(opR < cfg.deleteRatio, lit("delete"))
       .when(opR < cfg.deleteRatio + cfg.updateRatio, lit("update"))
@@ -106,12 +113,14 @@ object EventLog {
       when(op.isin("delete", "schema_change"), lit(null)).otherwise(lang).as("lang"),
       when(op.isin("delete", "schema_change"), lit(null)).otherwise(content).as("content"),
       when(op === "schema_change",
-        // alternate added column type by position in the list
-        concat(lit("{\"addColumn\":{\"name\":\""),
-          when(pmod(id, lit(2L)) === 0, lit("stars")).otherwise(lit("license")),
-          lit("\",\"type\":\""),
-          when(pmod(id, lit(2L)) === 0, lit("long")).otherwise(lit("string")),
-          lit("\"}}"))).as("schema_change"),
+        when(isWiden, lit("{\"widenColumn\":{\"name\":\"stars\",\"type\":\"long\"}}"))
+          // alternate added column type by position in the list; stars is int
+          // so the widen lsns above have something real to widen
+          .otherwise(concat(lit("{\"addColumn\":{\"name\":\""),
+            when(pmod(id, lit(2L)) === 0, lit("stars")).otherwise(lit("license")),
+            lit("\",\"type\":\""),
+            when(pmod(id, lit(2L)) === 0, lit("int")).otherwise(lit("string")),
+            lit("\"}}")))).as("schema_change"),
       when(op.isin("insert", "update"), extra).as("extra"))
 
     // Duplicate delivery: re-emit a sample with a bumped event_id. Same lsn →

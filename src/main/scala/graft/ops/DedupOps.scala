@@ -301,8 +301,12 @@ object DedupOps {
     */
   def canonicalClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                         maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // materialize the pair set ONCE before mirroring it: both union branches
+    // reference `pairs`, and an expensive upstream (e.g. a blocked similarity
+    // self-join) would otherwise execute twice when exchange reuse misses
+    val p = pairs.select(col(idA).as("src"), col(idB).as("dst")).localCheckpoint()
+    val edges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()

@@ -24,6 +24,11 @@ class CdcPropertySpec extends SparkSuite {
         deleteRatio = rnd.nextDouble() * 0.15,
         duplicateRate = rnd.nextDouble() * 0.1,
         schemaChangeLsns = Seq(rnd.nextInt(n).toLong, rnd.nextInt(n).toLong),
+        // a random widen lsn: sometimes after the stars add (metadata-only
+        // int→long widening mid-replay), sometimes before it (quarantined as
+        // unknown column) — both orderings must replay identically to the
+        // oracle under every batch split and dedup strategy
+        widenLsns = Seq(rnd.nextInt(n).toLong),
         seed = rnd.nextLong())
       val events = EventLog.generate(spark, cfg).collect().toSeq
       val want = ReplayOracle.expected(spark, events)
