@@ -8,7 +8,10 @@ class CdcIngestSpec extends SparkSuite {
 
   private val cfg = EventLog.Config(
     numEvents = 8000L, numRepos = 40, pathsPerRepo = 60,
-    duplicateRate = 0.05, schemaChangeLsns = Seq(2500L, 6000L), seed = 11L)
+    duplicateRate = 0.05, schemaChangeLsns = Seq(2500L, 6000L),
+    // mid-log widen of the int column added at lsn 2500: the STREAMING path
+    // (foreachBatch merge + checkpoint resume) must replay it like the fold
+    widenLsns = Seq(5000L), seed = 11L)
 
   private lazy val oracle: DataFrame =
     ReplayOracle.expected(spark, EventLog.generate(spark, cfg).collect().toSeq)
