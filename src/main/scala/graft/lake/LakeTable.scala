@@ -96,12 +96,22 @@ final class LakeTable(spark: SparkSession, val root: String) {
       }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(true))
     }
     val bounds = KeyPredicates.extract(cond, keyCols)
-    val kept = snap.files.filter { f =>
+    readAt(snap, pruneFiles(snap, bounds).map(_.path)).filter(predicate)
+  }
+
+  /** Files of `snap` that can hold a row inside `bounds` (manifest-level
+    * pruning; shared by [[readWhere]] and the `format("graft")` relation).
+    */
+  private[lake] def pruneFiles(
+      snap: Snapshot, bounds: Map[String, KeyPredicates.Bound]): Seq[DataFileEntry] =
+    snap.files.filter { f =>
       bounds("repo").overlaps(f.minRepo, f.maxRepo) &&
       bounds("path").overlaps(f.minPath, f.maxPath)
     }
-    readAt(snap, kept.map(_.path)).filter(predicate)
-  }
+
+  /** Live rows of selected files — the `format("graft")` relation's scan. */
+  private[lake] def scanLive(snap: Snapshot, files: Seq[String]): DataFrame =
+    readAt(snap, files)
 
   /** Time travel: the table as of `version` (live rows, engine columns
     * hidden, the schema AS OF that version). Any still-unexpired snapshot is

@@ -1,0 +1,91 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.events.EventLog
+
+/** `spark.read.format("graft")` batch relation: standard read UX over a lake
+  * table with automatic manifest file pruning from pushed filters, exact
+  * results for any predicate shape (fail-open), projection pruning, and
+  * versionAsOf time travel.
+  */
+class GraftSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ev(lsn: Long, op: String, repo: String, path: String, content: String): Row =
+    Row(lsn, 0L, new java.sql.Timestamp(1700000000000L + lsn * 1000), op,
+      repo, path, s"c$lsn", "scala", content, null, null)
+
+  private lazy val table: LakeTable = {
+    val t = new LakeTable(spark, tmpDir("gsrc"))
+    t.create(LakeTable.baseSchema)
+    val rows = for (i <- 0 until 120)
+      yield ev(i + 1, "insert", f"r${i % 12}%02d", f"p$i%03d", s"v$i")
+    t.merge(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), EventLog.eventSchema), "e", 0)
+    t.merge(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      ev(200, "update", "r03", "p003", "v3b"),
+      ev(201, "delete", "r05", "p005", null)), 2), EventLog.eventSchema), "e", 1)
+    t.compact(targetRowsPerFile = 20)
+    t
+  }
+
+  private def viaSource(opts: (String, String)*): DataFrame =
+    opts.foldLeft(spark.read.format("graft").option("path", table.root))(
+      (r, kv) => r.option(kv._1, kv._2)).load()
+
+  test("format(graft) read equals LakeTable.read; deletes excluded; update visible") {
+    val got = viaSource().collect().toSet
+    assert(got === table.read().collect().toSet)
+    val upd = viaSource().filter(col("path") === "p003").select("content").as[String].collect()
+    assert(upd.toSeq === Seq("v3b"))
+    assert(viaSource().filter(col("path") === "p005").isEmpty)
+  }
+
+  test("pushed filters match full-scan results for every shape (fail-open)") {
+    val full = table.read()
+    val preds = Seq(
+      col("repo") === "r07",
+      col("repo") >= "r09" && col("path") < "p060",
+      col("repo").isin("r01", "r02") || col("content") === "v50",
+      !(col("repo") === "r00"),
+      col("content").contains("v1"))
+    preds.foreach { p =>
+      assert(viaSource().filter(p).collect().toSet === full.filter(p).collect().toSet,
+        s"predicate diverged: $p")
+    }
+  }
+
+  test("projection prunes; count(*) works with an empty projection") {
+    val df = viaSource().select("repo")
+    assert(df.columns.toSeq === Seq("repo"))
+    assert(df.distinct().count() === 12)
+    assert(viaSource().count() === 119) // 120 inserts + 1 update - 1 delete
+  }
+
+  test("versionAsOf reads the table as of an earlier snapshot") {
+    // head is the compaction snapshot; its parent the update/delete batch;
+    // THAT batch's parent is the first-merge snapshot we want
+    val v1 = table.log.read(table.head().parent).parent
+    val old = viaSource("versionAsOf" -> v1.toString)
+    assert(old.count() === 120)
+    assert(old.filter(col("path") === "p003").select("content").as[String].head() === "v3")
+    assert(old.filter(col("path") === "p005").count() === 1)
+  }
+
+  test("a point-read filter prunes the inner scan to O(1) files") {
+    // the relation plans its inner parquet frame over only the surviving
+    // manifest entries; assert via the pruning helper it delegates to
+    val bounds = KeyPredicates.fromSourceFilters(
+      Seq(org.apache.spark.sql.sources.EqualTo("repo", "r07"),
+        org.apache.spark.sql.sources.EqualTo("path", "p007")), Seq("repo", "path"))
+    val snap = table.head()
+    val kept = table.pruneFiles(snap, bounds)
+    assert(snap.files.size >= 5, s"compaction should leave many files: ${snap.files.size}")
+    assert(kept.size <= 2, s"expected O(1) files, kept ${kept.size} of ${snap.files.size}")
+    // and the pruned read is still exact
+    assert(viaSource().filter(col("repo") === "r07" && col("path") === "p007")
+      .select("content").as[String].collect().toSeq === Seq("v7"))
+  }
+}
