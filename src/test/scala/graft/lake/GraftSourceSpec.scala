@@ -74,6 +74,18 @@ class GraftSourceSpec extends SparkSuite {
     assert(old.filter(col("path") === "p005").count() === 1)
   }
 
+  test("SQL surface: CREATE TEMPORARY VIEW ... USING graft") {
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW graft_sql_view USING graft OPTIONS (path '${table.root}')")
+    try {
+      assert(spark.sql("SELECT count(*) FROM graft_sql_view").as[Long].head() === 119)
+      val got = spark.sql(
+        "SELECT content FROM graft_sql_view WHERE repo = 'r07' AND path = 'p007'")
+        .as[String].collect().toSeq
+      assert(got === Seq("v7"))
+    } finally spark.catalog.dropTempView("graft_sql_view")
+  }
+
   test("a point-read filter prunes the inner scan to O(1) files") {
     // the relation plans its inner parquet frame over only the surviving
     // manifest entries; assert via the pruning helper it delegates to
