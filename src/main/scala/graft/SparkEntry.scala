@@ -697,9 +697,12 @@ object Queries {
     * its own private ingest: the ingest IS what it measures.
     */
   private val feedIngestMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.lake.LakeTable]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), graft.lake.LakeTable]()
   private def sharedFeedIngest(s: SparkSession, d: String): graft.lake.LakeTable =
-    feedIngestMemo.computeIfAbsent(d, _ => stageAndIngest(s, d, "feedshared"))
+    // keyed by session identity too: a memoized table holds its session, and
+    // serving it to a caller with a NEW session (old one stopped) would fail
+    feedIngestMemo.computeIfAbsent((System.identityHashCode(s), d),
+      _ => stageAndIngest(s, d, "feedshared"))
 
   /** Map the sf events table to the change-event schema and run the full
     * streaming ingest in a fresh scratch table; shared by the engine-e2e and
