@@ -25,6 +25,14 @@ import org.apache.spark.sql.types.StructType
   * `unhandledFilters` returns every filter: pruning only SKIPS files, so
   * Spark keeps the residual row-level Filter and results are exact for any
   * predicate shape (fail-open contract).
+  *
+  * Performance trade: a DSv1 relation surfaces rows through an RDD[Row]
+  * boundary (one external-row conversion at the relation edge, and the outer
+  * query's codegen starts above it). The inner parquet scan keeps its own
+  * whole-stage codegen, columnar reading and row-group pruning, so the scan
+  * itself is unchanged — but a hot programmatic path that wants the pure
+  * end-to-end codegen plan should call [[LakeTable.readWhere]] directly;
+  * this relation exists for the standard `spark.read` / SQL-view UX.
   */
 final class GraftSourceProvider extends RelationProvider with DataSourceRegister {
   override def shortName(): String = "graft"
