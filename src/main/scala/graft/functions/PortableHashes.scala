@@ -100,6 +100,76 @@ object MinhashSigPortable {
       org.apache.spark.sql.graftbridge.ColumnBridge.expression(shingles), numHashes))
 }
 
+/** Portable winnowing fingerprint over a token array: token hash = first 16
+  * hex chars of sha256(token); window value = concat of k consecutive token
+  * hashes; fingerprint = min over windows of the first 16 hex chars of
+  * sha256(window). NULL for docs with fewer than k tokens — exactly
+  * TextOps.fingerprintPortable's semantics (same digests, same hex, same
+  * lexicographic min), which the plain-Scala oracle in MinhashParitySpec
+  * pins for both paths.
+  */
+case class FingerprintPortable(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fingerprint_portable"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    FingerprintPortable.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("fpOut")
+      s"""
+         |org.apache.spark.unsafe.types.UTF8String $tmp =
+         |  graft.functions.FingerprintPortable.compute($c, $k);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FingerprintPortable =
+    copy(child = newChild)
+}
+
+object FingerprintPortable {
+  def compute(tokens: ArrayData, k: Int): UTF8String = {
+    val n = tokens.numElements()
+    if (n < k) return null // no full window (zip_with-padding semantics)
+    val hs = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      // a null token mirrors the HOF: sha2(null) = null poisons every window
+      // it touches; the fold's min then sees nulls — match by returning null
+      // (wordTokens never yields nulls; this is defensive parity)
+      if (tokens.isNullAt(i)) return null
+      hs(i) = Sha256.hex(tokens.getUTF8String(i)).substring(0, 16)
+      i += 1
+    }
+    var min: String = null
+    val sb = new java.lang.StringBuilder(16 * k)
+    var w = 0
+    while (w <= n - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) { sb.append(hs(w + j)); j += 1 }
+      val h = Sha256.hex(UTF8String.fromString(sb.toString)).substring(0, 16)
+      if (min == null || h.compareTo(min) < 0) min = h
+      w += 1
+    }
+    UTF8String.fromString(min)
+  }
+
+  def column(tokens: Column, k: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(FingerprintPortable(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(tokens), k))
+}
+
 /** Portable simhash fingerprint bits over a token array: per token the first
   * 16 hex chars of sha256(token) contribute 4 MSB-first ±1 votes per nibble;
   * bit b = (vote sum > 0). Mirrors DedupOps.simhashPairsPortable's vote fold

@@ -119,13 +119,12 @@ object TextOps {
     * sha256(concat of the window's k token hashes) — ~2 sha256 per token
     * (the previous k-chained-digest form paid k sha256 per token and
     * measured 13× slower at sf0.1). Min is over hex STRINGS — identical
-    * lexicographic order in both engines.
+    * lexicographic order in both engines. Evaluated by the native codegen
+    * kernel [[graft.functions.FingerprintPortable]] (same digests, same min
+    * — pinned to the plain-Scala oracle in MinhashParitySpec).
     */
-  def fingerprintPortable(text: Column, k: Int = 8): Column = {
-    val toks = wordTokens(text)
-    winnow(transform(toks, t => substring(sha2(t, 256), 1, 16)), size(toks), k,
-      (a, b) => concat(a, b), w => substring(sha2(w, 256), 1, 16))
-  }
+  def fingerprintPortable(text: Column, k: Int = 8): Column =
+    graft.functions.FingerprintPortable.column(wordTokens(text), k)
 
   /** DataFrame-level fingerprint: stages the token-hash array as a real
     * column so the k shifted-slice passes reference a cheap attribute instead
@@ -134,17 +133,16 @@ object TextOps {
     */
   def fingerprintDf(df: DataFrame, textCol: String, out: String = "fingerprint",
                     k: Int = 8, portable: Boolean = false): DataFrame = {
-    val hs =
-      if (portable)
-        transform(wordTokens(col(textCol)), t => substring(sha2(t, 256), 1, 16))
-      else transform(wordTokens(col(textCol)), t => xxhash64(t))
-    val fin: Column => Column =
-      if (portable) w => substring(sha2(w, 256), 1, 16) else identity
-    val step: (Column, Column) => Column =
-      if (portable) (a, b) => concat(a, b) else (a, b) => xxhash64(a, b)
-    df.withColumn("__fp_hs", hs) // multi-use non-cheap alias: evaluated once
-      .withColumn(out, winnow(col("__fp_hs"), size(col("__fp_hs")), k, step, fin))
-      .drop("__fp_hs")
+    if (portable)
+      // single native-kernel call per row — no staged array needed
+      df.withColumn(out, fingerprintPortable(col(textCol), k))
+    else {
+      val hs = transform(wordTokens(col(textCol)), t => xxhash64(t))
+      df.withColumn("__fp_hs", hs) // multi-use non-cheap alias: evaluated once
+        .withColumn(out,
+          winnow(col("__fp_hs"), size(col("__fp_hs")), k, (a, b) => xxhash64(a, b), identity))
+        .drop("__fp_hs")
+    }
   }
 
   /** Winnowing core over a token-hash array: k zip_with passes over shifted
