@@ -86,6 +86,35 @@ class GraftSourceSpec extends SparkSuite {
     } finally spark.catalog.dropTempView("graft_sql_view")
   }
 
+  test("relation tracks schema evolution; versionAsOf reads the schema AS OF that version") {
+    val t = new LakeTable(spark, tmpDir("gsrcw"))
+    t.create(LakeTable.baseSchema)
+    def b(rows: Row*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), EventLog.eventSchema)
+    t.merge(b(
+      Row(1L, 0L, new java.sql.Timestamp(0L), "schema_change", null, null, null,
+        null, null, """{"addColumn":{"name":"stars","type":"int"}}""", null),
+      Row(2L, 0L, new java.sql.Timestamp(0L), "insert", "r1", "a", "c2", "scala",
+        "v2", null, """{"stars": 7}""")), "e", 0)
+    val preWiden = t.head().version
+    t.merge(b(
+      Row(3L, 0L, new java.sql.Timestamp(0L), "schema_change", null, null, null,
+        null, null, """{"widenColumn":{"name":"stars","type":"long"}}""", null),
+      Row(4L, 0L, new java.sql.Timestamp(0L), "insert", "r2", "b", "c4", "scala",
+        "v4", null, """{"stars": 9999999999}""")), "e", 1)
+    def src(opts: (String, String)*) = opts.foldLeft(
+      spark.read.format("graft").option("path", t.root))((r, kv) => r.option(kv._1, kv._2)).load()
+    // head: widened schema, old int row read as long natively
+    val now = src()
+    assert(now.schema("stars").dataType === org.apache.spark.sql.types.LongType)
+    assert(now.select("stars").as[Option[Long]].collect().toSet ===
+      Set(Some(7L), Some(9999999999L)))
+    // as of the pre-widen snapshot: the int schema of that version
+    val old = src("versionAsOf" -> preWiden.toString)
+    assert(old.schema("stars").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(old.select("stars").as[Option[Int]].collect().toSet === Set(Some(7)))
+  }
+
   test("a point-read filter prunes the inner scan to O(1) files") {
     // the relation plans its inner parquet frame over only the surviving
     // manifest entries; assert via the pruning helper it delegates to
