@@ -696,13 +696,17 @@ object Queries {
     * builder wipes its scratch dir on first build). q_cdc_engine_e2e keeps
     * its own private ingest: the ingest IS what it measures.
     */
+  // keyed by the session OBJECT (weakly — a stopped session's entries become
+  // collectable instead of pinning the table for the JVM lifetime): a
+  // memoized table holds its session, and serving it to a caller with a NEW
+  // session (old one stopped) would fail
   private val feedIngestMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), graft.lake.LakeTable]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, graft.lake.LakeTable]]()
   private def sharedFeedIngest(s: SparkSession, d: String): graft.lake.LakeTable =
-    // keyed by session identity too: a memoized table holds its session, and
-    // serving it to a caller with a NEW session (old one stopped) would fail
-    feedIngestMemo.computeIfAbsent((System.identityHashCode(s), d),
-      _ => stageAndIngest(s, d, "feedshared"))
+    feedIngestMemo.synchronized {
+      feedIngestMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(d, stageAndIngest(s, d, "feedshared"))
+    }
 
   /** Map the sf events table to the change-event schema and run the full
     * streaming ingest in a fresh scratch table; shared by the engine-e2e and

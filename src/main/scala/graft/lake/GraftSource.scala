@@ -72,9 +72,34 @@ final case class GraftRelation(
 
   /** Best-effort `sources.Filter` → Column for the inner parquet scan; None
     * for unsupported shapes (Spark's residual filter covers them anyway).
+    *
+    * Soundness contract: because a pushed predicate can only DROP rows (the
+    * residual filter above the relation re-applies the true predicate and can
+    * never restore a dropped row), a translation is safe iff it is implied by
+    * the original filter — equal or WEAKER, never stronger. Weakening is safe
+    * under And (half a conjunction) and under Or (weaker sides yield a weaker
+    * disjunction), but NOT under Not: negating a weakened child produces a
+    * STRONGER predicate. Under Not we therefore require [[exactColumn]] — an
+    * all-or-nothing translation — and give up (None) otherwise.
     */
   private def filterToColumn(f: Filter): Option[Column] = f match {
+    case And(l, r) =>
+      (filterToColumn(l), filterToColumn(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (one, other) => one.orElse(other) // half a conjunction still filters
+      }
+    case Or(l, r) =>
+      for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
+    case Not(c) => exactColumn(c).map(!_)
+    case leaf => exactColumn(leaf)
+  }
+
+  /** Exact (equivalence-preserving) translation: every connective requires
+    * BOTH children translated exactly, so the result can safely be negated.
+    */
+  private def exactColumn(f: Filter): Option[Column] = f match {
     case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
     case GreaterThan(a, v) => Some(col(a) > lit(v))
     case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
     case LessThan(a, v) => Some(col(a) < lit(v))
@@ -85,14 +110,9 @@ final case class GraftRelation(
     case StringStartsWith(a, v) => Some(col(a).startsWith(v))
     case StringEndsWith(a, v) => Some(col(a).endsWith(v))
     case StringContains(a, v) => Some(col(a).contains(v))
-    case Not(c) => filterToColumn(c).map(!_)
-    case And(l, r) =>
-      (filterToColumn(l), filterToColumn(r)) match {
-        case (Some(a), Some(b)) => Some(a && b)
-        case (one, other) => one.orElse(other) // half a conjunction still filters
-      }
-    case Or(l, r) =>
-      for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
+    case And(l, r) => for (a <- exactColumn(l); b <- exactColumn(r)) yield a && b
+    case Or(l, r) => for (a <- exactColumn(l); b <- exactColumn(r)) yield a || b
+    case Not(c) => exactColumn(c).map(!_)
     case _ => None
   }
 }

@@ -284,11 +284,20 @@ final class LakeTable(spark: SparkSession, val root: String) {
           val target = parseTypeName((widen \ "type").extract[String])
           schema.fields.find(_.name == name) match {
             case Some(f) if f.dataType == target => () // idempotent re-apply
-            case Some(f) if widensTo(f.dataType, target) =>
+            // widening is defined ONLY for log-added columns: their values
+            // arrive through JSON extras, so the lsn-gated parse-type chain
+            // (and the ReplayOracle that mirrors it) can honor the pre-widen
+            // type. A base-schema column's values come from the fixed-type
+            // event frame — no parse gate exists for them — so a base widen
+            // quarantines rather than silently diverging from replay.
+            case Some(f) if widensTo(f.dataType, target) && addedAt.contains(name) =>
               widened += (name -> (r.getLong(0), f.dataType.typeName))
               schema = StructType(schema.fields.toSeq.map(x =>
                 if (x.name == name) x.copy(dataType = target) else x))
               scApplied += 1
+            case Some(f) if widensTo(f.dataType, target) =>
+              quarantine(r.getLong(0), s"widenColumn $name: base-schema column " +
+                "(widening applies to log-added columns only)")
             case Some(f) =>
               quarantine(r.getLong(0), s"widenColumn $name " +
                 s"${f.dataType.simpleString}→${target.simpleString} is not a safe widening")

@@ -14,7 +14,8 @@ import graft.lake.MergeStats
   * per drain — a tiny single-task parquet write per BATCH would otherwise be
   * pure serial time in the ingest loop (it cost ~15% of wall at bench scale).
   *
-  * `flushEvery` > 0 additionally flushes after every N recorded batches: a
+  * `flushEvery` > 0 additionally flushes after every N record events (batch,
+  * progress, or operator counters — anything that buffers rows counts): a
   * run-forever `ProcessingTime` ingest neither grows the buffer unboundedly
   * nor loses more than the last N batches' metrics on a crash (AvailableNow
   * drains still end with an explicit flush, so nothing is lost there).
@@ -49,12 +50,14 @@ final class Lineage(spark: SparkSession, root: String, flushEvery: Int = 0) {
     */
   def recordOp(op: String, metric: String, value: Long): Unit = synchronized {
     buf += ((op, -1L, metric, value))
+    batchRecorded() // op-only workloads must still hit the periodic flush
   }
 
   def recordProgress(epoch: String, batchId: Long, durationMs: Long, inputRows: Long): Unit =
     synchronized {
       buf += ((epoch, batchId, "batchDurationMs", durationMs))
       buf += ((epoch, batchId, "inputRows", inputRows))
+      batchRecorded()
     }
 
   /** Write buffered rows and clear the buffer. */

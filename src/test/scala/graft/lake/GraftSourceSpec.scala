@@ -50,6 +50,11 @@ class GraftSourceSpec extends SparkSuite {
       col("repo") >= "r09" && col("path") < "p060",
       col("repo").isin("r01", "r02") || col("content") === "v50",
       !(col("repo") === "r00"),
+      // regression: a weakened And under Not negates into a STRONGER pushed
+      // predicate unless Not requires exact translation — <=> (EqualNullSafe)
+      // exercises the leaf the lenient translator once dropped
+      !(col("repo") === "r00" && col("path") <=> "p012"),
+      !(col("repo") === "r00" && col("path") =!= "p012"),
       col("content").contains("v1"))
     preds.foreach { p =>
       assert(viaSource().filter(p).collect().toSet === full.filter(p).collect().toSet,
