@@ -59,12 +59,27 @@ final class LakeTable(spark: SparkSession, val root: String) {
   /** Read stored rows of the given files under the given snapshot's schema;
     * files written before a schema evolution lack the added columns and the
     * Parquet reader null-fills them (union-by-name evolution, SURVEY §2.7 U2).
+    *
+    * Tombstone rows live in SEPARATE files from live rows (the merge writes
+    * `partitionBy("_deleted")` — the Iceberg delete-file analog), so
+    * `_deleted` is not a physical column: it is reconstituted per file group
+    * as a literal. Live-only readers ([[readAt]]) never open tombstone files
+    * at all — at the 100 TB design point a full-table scan reads zero
+    * tombstone bytes instead of scanning and filtering them row by row.
     */
-  private def readStored(snap: Snapshot, files: Seq[String]): DataFrame = {
+  private def readStored(snap: Snapshot, entries: Seq[DataFileEntry]): DataFrame = {
     val st = storageSchema(snap)
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
-    else spark.read.schema(st).parquet(files: _*)
+    val noDel = StructType(st.fields.filterNot(_.name == "_deleted"))
+    val (tombs, live) = entries.partition(_.tomb)
+    def side(fs: Seq[DataFileEntry], deleted: Boolean): Option[DataFrame] =
+      if (fs.isEmpty) None
+      else Some(spark.read.schema(noDel).parquet(fs.map(_.path): _*)
+        .withColumn("_deleted", lit(deleted)))
+    (side(live, deleted = false) ++ side(tombs, deleted = true))
+      .reduceOption(_.unionByName(_))
+      .map(_.select(st.fieldNames.map(col).toSeq: _*))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
   }
 
   /** User-visible table state: live rows only, engine columns hidden. */
@@ -96,8 +111,11 @@ final class LakeTable(spark: SparkSession, val root: String) {
       }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(true))
     }
     val bounds = KeyPredicates.extract(cond, keyCols)
-    readAt(snap, pruneFiles(snap, bounds).map(_.path)).filter(predicate)
+    readAt(snap, pruneFiles(snap, bounds)).filter(predicate)
   }
+
+  /** Columns with manifest-level min/max stats usable for file pruning. */
+  private[lake] def prunableColumns: Seq[String] = keyCols
 
   /** Files of `snap` that can hold a row inside `bounds` (manifest-level
     * pruning; shared by [[readWhere]] and the `format("graft")` relation).
@@ -110,8 +128,8 @@ final class LakeTable(spark: SparkSession, val root: String) {
     }
 
   /** Live rows of selected files — the `format("graft")` relation's scan. */
-  private[lake] def scanLive(snap: Snapshot, files: Seq[String]): DataFrame =
-    readAt(snap, files)
+  private[lake] def scanLive(snap: Snapshot, entries: Seq[DataFileEntry]): DataFrame =
+    readAt(snap, entries)
 
   /** Time travel: the table as of `version` (live rows, engine columns
     * hidden, the schema AS OF that version). Any still-unexpired snapshot is
@@ -120,16 +138,21 @@ final class LakeTable(spark: SparkSession, val root: String) {
   def readVersion(version: Long): DataFrame = readAt(log.read(version))
 
   private def readAt(snap: Snapshot): DataFrame =
-    readAt(snap, snap.files.map(_.path))
+    readAt(snap, snap.files)
 
-  /** Live rows of `files` under `snap`'s schema, engine columns hidden —
-    * the single place the hidden-column/tombstone-filter logic lives, shared
-    * by full reads and pruned reads.
+  /** Live rows of `entries` under `snap`'s schema, engine columns hidden —
+    * the single place the live-read logic lives, shared by full reads and
+    * pruned reads. Tombstones sit in separate files, so a live read is a
+    * plain projected parquet scan: no row filter, no tombstone bytes read
+    * (schema projection also skips the physical `_lsn`/`_ver` columns).
     */
-  private def readAt(snap: Snapshot, files: Seq[String]): DataFrame =
-    readStored(snap, files)
-      .filter(!col("_deleted"))
-      .select(snap.schema.fieldNames.map(col).toSeq: _*)
+  private def readAt(snap: Snapshot, entries: Seq[DataFileEntry]): DataFrame = {
+    val live = entries.filterNot(_.tomb)
+    if (live.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), snap.schema)
+    else spark.read.schema(snap.schema).parquet(live.map(_.path): _*)
+  }
 
   /** Schema of the change feed (changesBetween / the graft-changes streaming
     * source): the CURRENT user schema plus (`_lsn`, `_deleted`, `_ver`) —
@@ -144,7 +167,7 @@ final class LakeTable(spark: SparkSession, val root: String) {
   /** Stored state incl. tombstones and `_lsn` — for tests and compaction. */
   def readRaw(): DataFrame = {
     val snap = head()
-    readStored(snap, snap.files.map(_.path))
+    readStored(snap, snap.files)
   }
 
   /** Incremental change feed (Iceberg-style incremental scan): the NET row
@@ -181,7 +204,6 @@ final class LakeTable(spark: SparkSession, val root: String) {
     // unknown stats — fail open.
     val added = to.files
       .filter(f => !old.contains(f.path) && f.maxVer.forall(_ > fromVersion))
-      .map(_.path)
     // null _ver = a file written before commit-version stamping existed
     // (parquet null-fills the missing column). Fail OPEN: deliver such rows
     // rather than silently dropping pre-upgrade history — re-delivery is
@@ -387,7 +409,7 @@ final class LakeTable(spark: SparkSession, val root: String) {
       })
     keyAgg.unpersist()
 
-    val target = readStored(evolved, touched.toSeq)
+    val target = readStored(evolved, snap.files.filter(f => touched.contains(f.path)))
       .withColumn("__tie", lit(Long.MaxValue)) // target wins LSN ties: re-applied dup is a no-op
       .withColumn("__isTarget", lit(true))
 
@@ -404,10 +426,17 @@ final class LakeTable(spark: SparkSession, val root: String) {
       .filter(col("__rn") === 1)
       .drop("__rn", "__tie", "__isTarget")
 
-    // ---- write new data files ----
-    val newDir = s"${log.dataDir}/v${snap.version + 1}-b$batchId"
+    // ---- write new data files: live rows and tombstones to SEPARATE files
+    // (Iceberg delete-file analog) so live reads never open tombstone bytes.
+    // The dir carries a per-attempt suffix: two writers racing on the same
+    // (version, batchId) — or two epochs sharing a batchId — must never
+    // overwrite each other's in-flight files; the loser's dir becomes an
+    // unreferenced orphan that expireSnapshots' GC removes. ----
+    val newDir = s"${log.dataDir}/v${snap.version + 1}-b$batchId-" +
+      java.util.UUID.randomUUID().toString.take(8)
     timed("merge-write")(merged
-      .write.mode("overwrite").option("compression", "zstd").parquet(newDir))
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("_deleted").parquet(newDir))
 
     val newFiles = timed("footer-stats")(LakeTable.footerStats(spark, newDir))
 
@@ -432,6 +461,64 @@ final class LakeTable(spark: SparkSession, val root: String) {
       noOp = false)
   }
 
+  /** Plain-row write surface backing `df.write.format("graft")`, SQL
+    * `INSERT INTO`, and the `writeStream.format("graft")` sink: rows of the
+    * USER schema become insert events at the table's next LSN and run
+    * through the SAME merge path — per-key dedup, file pruning,
+    * range-clustered write, snapshot commit — so a plain write is an upsert
+    * by `(repo, path)` with full idempotence per `(epoch, batchId)`.
+    *
+    * Columns added by schema evolution are packed back through the JSON
+    * `extra` channel so the merge's lsn-gated parse chain stays the single
+    * source of evolved-column semantics. Duplicate keys WITHIN `rows`
+    * collapse to one winner (by generated event order — upsert promises one
+    * survivor per key, not which).
+    */
+  def append(rows: DataFrame, epoch: String, batchId: Long): MergeStats = {
+    val snap = head()
+    val present = rows.columns.toSet
+    val unknown = present -- snap.schema.fieldNames
+    require(keyCols.forall(present.contains),
+      s"append requires key columns ${keyCols.mkString(", ")}; got ${rows.columns.mkString(", ")}")
+    require(unknown.isEmpty,
+      s"append with columns absent from the table schema: ${unknown.mkString(", ")} " +
+        "(evolve the schema with a schema_change event first)")
+    val lsn = math.max(snap.maxLsn, 0L) + 1
+    val (evolved, base) = snap.schema.fields.toSeq.partition(f => snap.addedAtLsn.contains(f.name))
+    val baseCols = base.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    val presentEvolved = evolved.filter(f => present.contains(f.name))
+    val extraCol =
+      if (presentEvolved.isEmpty) lit(null).cast(StringType)
+      else to_json(struct(presentEvolved.map(f => col(f.name)): _*))
+    val ev = rows.select(baseCols ++ Seq(
+      lit(lsn).as("lsn"),
+      monotonically_increasing_id().as("event_id"),
+      lit("insert").as("op"),
+      lit(null).cast(StringType).as("schema_change"),
+      extraCol.as("extra")): _*)
+    merge(ev, epoch, batchId)
+  }
+
+  /** `SaveMode.Overwrite` / `INSERT OVERWRITE`: replace the table's contents
+    * with `rows` in one commit (Iceberg REPLACE semantics). The previous
+    * contents do NOT surface as deletes in the change feed — consumers see
+    * the overwrite version's files as a full rewrite; resume across it like
+    * any compaction-style rewrite.
+    */
+  def overwrite(rows: DataFrame, epoch: String, batchId: Long): MergeStats = {
+    val snap = head()
+    if (snap.ledger.contains(epoch, batchId))
+      return MergeStats(epoch, batchId, snap.version, 0, 0, 0, 0, 0, noOp = true)
+    // truncate: commit an empty file set (history stays time-travelable),
+    // then run the normal append path against the emptied table
+    log.commit(snap.copy(version = snap.version + 1, files = Seq.empty,
+      parent = snap.version))
+    append(rows, epoch, batchId)
+  }
+
   /** Bin-pack data files and expire old tombstones.
     *
     * Copy-on-write merges leave one file set per touched range per batch;
@@ -444,17 +531,19 @@ final class LakeTable(spark: SparkSession, val root: String) {
   def compact(targetRowsPerFile: Long = 1000000L,
               tombstoneWatermark: Option[Long] = None): Snapshot = {
     val snap = head()
-    val all = readStored(snap, snap.files.map(_.path))
+    val all = readStored(snap, snap.files)
     val kept = tombstoneWatermark match {
       case Some(wm) => all.filter(!col("_deleted") || col("_lsn") > wm)
       case None => all
     }
     val totalRows = snap.files.map(_.rows).sum
     val nParts = math.max(1, math.min(10000, totalRows / math.max(1L, targetRowsPerFile))).toInt
-    val newDir = s"${log.dataDir}/compact-v${snap.version + 1}"
+    val newDir = s"${log.dataDir}/compact-v${snap.version + 1}-" +
+      java.util.UUID.randomUUID().toString.take(8)
     kept.repartitionByRange(nParts, col("repo"), col("path"))
       .sortWithinPartitions("repo", "path")
-      .write.mode("overwrite").option("compression", "zstd").parquet(newDir)
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("_deleted").parquet(newDir)
     val next = snap.copy(
       version = snap.version + 1,
       files = LakeTable.footerStats(spark, newDir),
@@ -478,13 +567,16 @@ final class LakeTable(spark: SparkSession, val root: String) {
       fs.delete(new org.apache.hadoop.fs.Path(root, s"meta/v$v.json"), false)
     }
     log.gcManifests(keepVersions)
-    // GC unreferenced data files
+    // GC unreferenced data files (recursive: `partitionBy("_deleted")` nests
+    // files one level below each commit dir)
     val dataPath = new org.apache.hadoop.fs.Path(log.dataDir)
     if (fs.exists(dataPath)) {
-      for (dir <- fs.listStatus(dataPath); f <- fs.listStatus(dir.getPath)
-           if f.getPath.getName.endsWith(".parquet")
-           if !live.contains(f.getPath.toString)) {
-        fs.delete(f.getPath, false)
+      val it = fs.listFiles(dataPath, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet") &&
+            !live.contains(fs.makeQualified(f.getPath).toString))
+          fs.delete(f.getPath, false)
       }
     }
   }
@@ -552,7 +644,8 @@ object LakeTable {
   }
 
   private def statsOfFile(
-      conf: org.apache.hadoop.conf.Configuration, path: String): Option[DataFileEntry] = {
+      conf: org.apache.hadoop.conf.Configuration, path: String,
+      tomb: Boolean, bytes: Long): Option[DataFileEntry] = {
     import scala.jdk.CollectionConverters._
     val p = new org.apache.hadoop.fs.Path(path)
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
@@ -565,7 +658,7 @@ object LakeTable {
         val (minR, maxR) = columnBounds(blocks, "repo")
         val (minP, maxP) = columnBounds(blocks, "path")
         Some(DataFileEntry(path, rows, minR, maxR, minP, maxP,
-          longColumnMax(blocks, "_ver")))
+          longColumnMax(blocks, "_ver"), tomb = tomb, bytes = bytes))
       }
     } finally reader.close()
   }
@@ -607,16 +700,27 @@ object LakeTable {
     val conf = spark.sparkContext.hadoopConfiguration
     val d = new org.apache.hadoop.fs.Path(dir)
     val fs = d.getFileSystem(conf)
-    val files = fs.listStatus(d).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .map(p => fs.makeQualified(p).toString).toSeq
+    // recursive: partitionBy("_deleted") nests files one level down; the dir
+    // name tells live from tombstone files with no footer read needed
+    val files = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean, Long)]
+      val it = fs.listFiles(d, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) {
+          val q = fs.makeQualified(st.getPath).toString
+          buf += ((q, q.contains("/_deleted=true/"), st.getLen))
+        }
+      }
+      buf.sortBy(_._1).toSeq
+    }
     if (files.size <= distributeThreshold)
-      files.flatMap(p => statsOfFile(conf, p))
+      files.flatMap { case (p, t, len) => statsOfFile(conf, p, t, len) }
     else {
       val serConf = new org.apache.spark.SerializableWritable(conf)
       val slices = math.min(files.size, spark.sparkContext.defaultParallelism * 2)
       spark.sparkContext.parallelize(files, slices)
-        .flatMap(p => statsOfFile(serConf.value, p))
+        .flatMap { case (p, t, len) => statsOfFile(serConf.value, p, t, len) }
         .collect().toSeq.sortBy(_.path)
     }
   }

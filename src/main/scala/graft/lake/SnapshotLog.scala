@@ -79,7 +79,9 @@ final case class DataFileEntry(
     path: String, rows: Long,
     minRepo: Option[String], maxRepo: Option[String],
     minPath: Option[String], maxPath: Option[String],
-    maxVer: Option[Long] = None)
+    maxVer: Option[Long] = None,
+    tomb: Boolean = false,
+    bytes: Long = 0L)
 
 /** From-scratch Iceberg-style snapshot log over any Hadoop FileSystem.
   *
@@ -316,7 +318,7 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     ("path" -> f.path) ~ ("rows" -> f.rows) ~
     ("minRepo" -> f.minRepo) ~ ("maxRepo" -> f.maxRepo) ~
     ("minPath" -> f.minPath) ~ ("maxPath" -> f.maxPath) ~
-    ("maxVer" -> f.maxVer)
+    ("maxVer" -> f.maxVer) ~ ("tomb" -> f.tomb) ~ ("bytes" -> f.bytes)
 
   private def parseEntry(f: JValue): DataFileEntry = {
     implicit val fmt: Formats = DefaultFormats
@@ -330,7 +332,13 @@ final class SnapshotLog(spark: SparkSession, root: String) {
       case _ => None // older manifests: unknown, fail open
     }
     DataFileEntry((f \ "path").extract[String], (f \ "rows").extract[Long],
-      opt("minRepo"), opt("maxRepo"), opt("minPath"), opt("maxPath"), maxVer)
+      opt("minRepo"), opt("maxRepo"), opt("minPath"), opt("maxPath"), maxVer,
+      tomb = (f \ "tomb") match { case JBool(b) => b; case _ => false },
+      bytes = (f \ "bytes") match {
+        case JInt(v) => v.toLong
+        case JLong(v) => v
+        case _ => 0L
+      })
   }
 
   private def renderSnapshot(s: Snapshot, manifests: Seq[String]): String = {

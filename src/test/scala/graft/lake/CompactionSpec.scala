@@ -32,7 +32,10 @@ class CompactionSpec extends SparkSuite {
     // watermark 4: tombstone at lsn 4 expires, lsn 5 is retained
     val after = t.compact(targetRowsPerFile = 1000000L, tombstoneWatermark = Some(4L))
     assert(after.version === before.version + 1)
-    assert(after.files.size === 1)
+    // live rows and retained tombstones are packed into SEPARATE files
+    // (Iceberg delete-file analog): one of each here
+    assert(after.files.count(!_.tomb) === 1)
+    assert(after.files.count(_.tomb) === 1)
     assert(t.read().select("repo").as[String].collect().toSet === pre)
     val tombs = t.readRaw().filter(col("_deleted")).select("_lsn").as[Long].collect().toSet
     assert(tombs === Set(5L))
@@ -54,8 +57,10 @@ class CompactionSpec extends SparkSuite {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     def countData(): Int = {
       val dp = new org.apache.hadoop.fs.Path(t.log.dataDir)
-      fs.listStatus(dp).flatMap(d => fs.listStatus(d.getPath))
-        .count(_.getPath.getName.endsWith(".parquet"))
+      val it = fs.listFiles(dp, true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
     }
     val filesBefore = countData()
     t.expireSnapshots(keepLast = 1)
