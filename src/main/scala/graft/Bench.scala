@@ -23,6 +23,7 @@ object BenchUtil {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
+      .config("spark.sql.extensions", "graft.lake.GraftSparkExtension")
       .config("spark.sql.shuffle.partitions", (2 * cores).toString)
       .config("spark.local.dir", localDir)
       .config("spark.sql.adaptive.enabled", "true")

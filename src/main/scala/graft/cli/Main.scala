@@ -24,6 +24,7 @@ object Main {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-cdc")
+      .config("spark.sql.extensions", "graft.lake.GraftSparkExtension")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -18,4 +18,16 @@ object StreamingBridge {
     val session = ds.sparkSession
     session.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
+
+  /** The inverse direction, for a DSv1 streaming `Sink`: the frame handed to
+    * `addBatch` is bound to that micro-batch's incremental execution; this
+    * re-wraps its compiled plan as a plain BATCH frame so sink code can run
+    * ordinary multi-action DataFrame logic over it (Delta's sink uses the
+    * same seam).
+    */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val session = ds.sparkSession
+    session.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
 }

@@ -120,6 +120,123 @@ class GraftSourceSpec extends SparkSuite {
     assert(old.select("stars").as[Option[Int]].collect().toSet === Set(Some(7)))
   }
 
+  test("the relation plans a NATIVE columnar file scan: no row-conversion boundary") {
+    val q = viaSource().filter(col("repo") === "r07").select("repo", "content")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExternalRDD"), s"row boundary in plan:\n$plan")
+    assert(!plan.contains("RowDataSourceScan"), s"DSv1 row scan in plan:\n$plan")
+    assert(plan.contains("FileScan parquet") || plan.contains("Scan parquet"),
+      s"expected a native parquet scan:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(repo), EqualTo(repo,r07)]") ||
+      plan.contains("EqualTo(repo,r07)"), s"filter not pushed to parquet:\n$plan")
+    assert(plan.contains("ReadSchema: struct<repo:string,content:string>"),
+      s"projection not pruned to (repo, content):\n$plan")
+    // and the scan sits inside whole-stage codegen (the `*(n)` prefix)
+    assert(plan.contains("*(1)"), s"no codegen span above the scan:\n$plan")
+  }
+
+  test("planning-time manifest pruning reaches the native scan's file list") {
+    // a point read must PLAN O(1) files, not just filter rows at runtime
+    val q = viaSource().filter(col("repo") === "r07" && col("path") === "p007")
+    val scanned = q.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(Nil, f.dataFilters).map(_.files.size).sum
+    }.sum
+    assert(scanned <= 2, s"point read planned $scanned files")
+    assert(q.select("content").as[String].collect().toSeq === Seq("v7"))
+  }
+
+  test("df.write.format(graft): append upserts, overwrite replaces, round-trips") {
+    val root = tmpDir("gwrite")
+    val a = Seq(("r1", "a", "v1"), ("r2", "b", "v2")).toDF("repo", "path", "content")
+    a.write.format("graft").option("path", root).mode("append").save()
+    val t = new LakeTable(spark, root)
+    assert(t.read().select("repo", "path", "content").as[(String, String, String)]
+      .collect().toSet === Set(("r1", "a", "v1"), ("r2", "b", "v2")))
+    // append is an UPSERT by (repo, path): same key replaces, new key adds
+    Seq(("r1", "a", "v1b"), ("r3", "c", "v3")).toDF("repo", "path", "content")
+      .write.format("graft").option("path", root).mode("append").save()
+    assert(t.read().filter(col("path") === "a").select("content").as[String].head() === "v1b")
+    assert(t.read().count() === 3)
+    // overwrite replaces the contents in one commit; history stays readable
+    val preVer = t.head().version
+    Seq(("r9", "z", "vz")).toDF("repo", "path", "content")
+      .write.format("graft").option("path", root).mode("overwrite").save()
+    assert(t.read().select("repo").as[String].collect().toSeq === Seq("r9"))
+    assert(t.readVersion(preVer).count() === 3)
+  }
+
+  test("SQL INSERT INTO routes through the committing write path") {
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW graft_ins USING graft OPTIONS (path '${table.root}')")
+    try {
+      val before = table.head().version
+      spark.sql("INSERT INTO graft_ins VALUES ('zz', 'newpath', 'c9', 'scala', 'inserted')")
+      // committed as a snapshot (not files dropped beside the table)...
+      assert(table.head().version > before)
+      // ...and visible both through the table API and a FRESH relation
+      assert(table.read().filter(col("repo") === "zz")
+        .select("content").as[String].head() === "inserted")
+      spark.sql(
+        s"CREATE OR REPLACE TEMPORARY VIEW graft_ins2 USING graft OPTIONS (path '${table.root}')")
+      assert(spark.sql("SELECT content FROM graft_ins2 WHERE repo = 'zz'")
+        .as[String].head() === "inserted")
+      // upsert semantics: inserting the same key again replaces it
+      spark.sql("INSERT INTO graft_ins VALUES ('zz', 'newpath', 'c9', 'scala', 'v2')")
+      assert(table.read().filter(col("repo") === "zz").count() === 1)
+      assert(table.read().filter(col("repo") === "zz")
+        .select("content").as[String].head() === "v2")
+    } finally {
+      spark.catalog.dropTempView("graft_ins")
+      spark.catalog.dropTempView("graft_ins2")
+    }
+  }
+
+  test("streaming sink: per-(epoch, batchId) ledger makes a replayed batch a no-op") {
+    val root = tmpDir("gsink")
+    val sink = new GraftSink(spark, root, "e1")
+    val b0 = Seq(("r1", "a", "v1")).toDF("repo", "path", "content")
+    sink.addBatch(0, b0)
+    val t = new LakeTable(spark, root)
+    assert(t.read().count() === 1)
+    val v1 = t.head().version
+    sink.addBatch(0, b0) // re-delivery after a restart: must not double-apply
+    assert(t.head().version === v1)
+    sink.addBatch(1, Seq(("r1", "a", "v2")).toDF("repo", "path", "content"))
+    assert(t.read().select("content").as[String].collect().toSeq === Seq("v2"))
+    // event-shaped stream frames go through the full merge (deletes work)
+    val ev = Seq((10L, 0L, "delete", "r1", "a"))
+      .toDF("lsn", "event_id", "op", "repo", "path")
+      .withColumn("commit", lit(null).cast("string"))
+      .withColumn("lang", lit(null).cast("string"))
+      .withColumn("content", lit(null).cast("string"))
+      .withColumn("schema_change", lit(null).cast("string"))
+      .withColumn("extra", lit(null).cast("string"))
+    sink.addBatch(2, ev)
+    assert(t.read().count() === 0)
+  }
+
+  test("writeStream.format(graft) end-to-end: micro-batches upsert exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String, String)]
+    val root = tmpDir("gsinkstream")
+    val q = mem.toDF().toDF("repo", "path", "content")
+      .writeStream.format("graft")
+      .option("path", root).option("epoch", "s1")
+      .option("checkpointLocation", tmpDir("gsinkchk"))
+      .start()
+    try {
+      mem.addData(("r1", "a", "v1"))
+      q.processAllAvailable()
+      mem.addData(("r1", "a", "v2"), ("r2", "b", "v1"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val t = new LakeTable(spark, root)
+    assert(t.read().select("repo", "path", "content").as[(String, String, String)]
+      .collect().toSet === Set(("r1", "a", "v2"), ("r2", "b", "v1")))
+  }
+
   test("a point-read filter prunes the inner scan to O(1) files") {
     // the relation plans its inner parquet frame over only the surviving
     // manifest entries; assert via the pruning helper it delegates to
