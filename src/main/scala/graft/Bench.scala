@@ -377,7 +377,20 @@ object Bench {
     val metric = if (cdcJson != "null")
       "change-events/sec applied (MERGE upsert, local[32])" else "total query sec"
     val unit = if (cdcJson != "null") "events/sec" else "sec"
-    println(s"""{"metric":"$metric","value":$headline,"unit":"$unit","queries":$qs,"total_query_sec":${f"$total%.3f"},"cdc":$cdcJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"$metric","value":$headline,"unit":"$unit","queries":$qs,"total_query_sec":${f"$total%.3f"},"cdc":$cdcJson,"sf":"$sfDir"}"""
+    // the metric must survive log interleaving: land it in a FILE first, then
+    // emit it on its own stdout line after draining both streams (a Spark
+    // warning glued to the front of the line once cost the driver its parse)
+    try {
+      val out = new java.io.PrintWriter("bench_metric.json", "UTF-8")
+      try out.println(json) finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    System.err.flush()
+    System.out.flush()
+    println()
+    println(json)
+    System.out.flush()
     spark.stop()
   }
 }

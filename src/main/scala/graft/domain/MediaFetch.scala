@@ -55,8 +55,9 @@ object MediaFetch extends Serializable {
       handlers: Map[String, Handler],
       concurrency: Int = 10,
       maxAttempts: Int = 3,
-      backoffMs: Long = 0L): DataFrame = {
-    require(concurrency >= 1 && maxAttempts >= 1)
+      backoffMs: Long = 0L,
+      attemptTimeoutMs: Long = 30000L): DataFrame = {
+    require(concurrency >= 1 && maxAttempts >= 1 && attemptTimeoutMs >= 1)
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -89,29 +90,48 @@ object MediaFetch extends Serializable {
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      def attempt(t: FetchTask, n: Int): FetchedRow =
-        try {
-          val (key, ext) = handlers(t.evidence_source)(t)
-          FetchedRow(t.url_hash, t.url, t.evidence_source, key, ext, "fetched", n)
-        } catch {
-          case _: Exception if n < maxAttempts =>
-            if (backoffMs > 0) Thread.sleep(backoffMs << (n - 1)) // exponential
-            attempt(t, n + 1)
-          case _: Exception =>
-            FetchedRow(t.url_hash, t.url, t.evidence_source, null, null, "failed", n)
-        }
+      // ONE handler call per future; the retry/skip decision happens at the
+      // dequeue site, so a handler that BLOCKS (wedged socket) — not just one
+      // that throws — is bounded by `attemptTimeoutMs` per attempt and feeds
+      // the SAME retry-then-failed path. A timed-out call's thread is leaked
+      // in the daemon pool (arbitrary handler I/O cannot be interrupted
+      // safely); the pool is per-Spark-task and reaped by the
+      // task-completion listener, so a wedge costs one slot, not the job.
+      def submit(t: FetchTask, n: Int): (FetchTask, Int, Future[(String, String)]) =
+        (t, n, Future {
+          if (n > 1 && backoffMs > 0) Thread.sleep(backoffMs << (n - 2)) // exponential
+          handlers(t.evidence_source)(t)
+        })
       val window = concurrency * 2
-      val inFlight = scala.collection.mutable.Queue.empty[Future[FetchedRow]]
+      val inFlight =
+        scala.collection.mutable.Queue.empty[(FetchTask, Int, Future[(String, String)])]
       new Iterator[FetchedRow] {
         def hasNext: Boolean = inFlight.nonEmpty || it.hasNext
+        @annotation.tailrec
         def next(): FetchedRow = {
           while (it.hasNext && inFlight.size < window) {
             val t = it.next() // pull on THIS thread: the source iterator is
-            inFlight.enqueue(Future(attempt(t, 1))) // not safe inside the pool
+            inFlight.enqueue(submit(t, 1)) // not safe inside the pool
           }
-          val r = Await.result(inFlight.dequeue(), Duration.Inf)
-          if (!hasNext) pool.shutdown()
-          r
+          val (t, n, f) = inFlight.dequeue()
+          val outcome =
+            try Right(Await.result(f, Duration(attemptTimeoutMs,
+              java.util.concurrent.TimeUnit.MILLISECONDS)))
+            catch {
+              case _: java.util.concurrent.TimeoutException => Left(())
+              case scala.util.control.NonFatal(_) => Left(())
+            }
+          outcome match {
+            case Right((key, ext)) =>
+              if (!hasNext) pool.shutdown()
+              FetchedRow(t.url_hash, t.url, t.evidence_source, key, ext, "fetched", n)
+            case Left(_) if n < maxAttempts =>
+              inFlight.enqueue(submit(t, n + 1)) // retry goes to the back
+              next()
+            case Left(_) =>
+              if (!hasNext) pool.shutdown()
+              FetchedRow(t.url_hash, t.url, t.evidence_source, null, null, "failed", n)
+          }
         }
       }
     }

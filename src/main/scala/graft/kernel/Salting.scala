@@ -59,13 +59,18 @@ object Salting {
     * key's expected per-task row count stays near the mean. Cheap (sampled
     * local agg) and good enough — dedup is correct for any bucket count.
     */
-  def chooseSaltBuckets(df: DataFrame, keyCols: Seq[String], targetPerBucket: Long = 500000L): Int = {
-    val sample = df.sample(0.01, 42L)
+  def chooseSaltBuckets(df: DataFrame, keyCols: Seq[String],
+                        targetPerBucket: Long = 500000L,
+                        sampleRate: Double = 0.01): Int = {
+    require(sampleRate > 0 && sampleRate <= 1, s"sampleRate $sampleRate")
+    val sample = df.sample(sampleRate, 42L)
     val top = sample.groupBy(keyCols.map(col): _*).count()
       .agg(max("count")).collect()(0)
     if (top.isNullAt(0)) 1
     else {
-      val hottest = top.getLong(0) * 100 // un-sample
+      // un-sample by the ACTUAL rate — deriving the factor from the rate
+      // keeps the estimate right if someone tunes one constant later
+      val hottest = math.round(top.getLong(0) / sampleRate)
       math.min(64, math.max(1, (hottest / targetPerBucket).toInt))
     }
   }

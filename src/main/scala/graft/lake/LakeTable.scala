@@ -43,8 +43,10 @@ final class LakeTable(spark: SparkSession, val root: String) {
   private val keyCols = Seq("repo", "path")
 
   def create(baseSchema: StructType): Unit = {
+    // tryCommit: two racing creators both succeed idempotently (the loser's
+    // intent — "the table exists" — is satisfied by the winner's v0)
     if (log.latestVersion().isEmpty)
-      log.commit(Snapshot(0L, baseSchema, Map.empty, Seq.empty, BatchLedger.empty, -1L))
+      log.tryCommit(Snapshot(0L, baseSchema, Map.empty, Seq.empty, BatchLedger.empty, -1L))
   }
 
   def head(): Snapshot = log.head().getOrElse(
@@ -228,10 +230,38 @@ final class LakeTable(spark: SparkSession, val root: String) {
   }
 
   def merge(batch: DataFrame, epoch: String, batchId: Long, saltBuckets: Int = 0): MergeStats = {
-    val snap = head()
-    if (snap.ledger.contains(epoch, batchId)) {
-      return MergeStats(epoch, batchId, snap.version, 0, 0, 0, 0, 0, noOp = true)
+    // Optimistic concurrency: on a lost commit race the merge RECOMPUTES
+    // against the new head rather than rebasing its output metadata. A
+    // metadata-only rebase is UNSOUND for a merge: output rows are stamped
+    // `_ver = parent + 1` at write time, so re-parenting the same files onto
+    // a newer head would publish rows whose `_ver` sits below their commit
+    // version and the change feed's `_ver > fromVersion` filter would
+    // silently drop them for consumers resuming in between. Compaction (which
+    // preserves stored `_ver`s) takes the cheap rebase path instead — so the
+    // long-running maintenance job rarely forces the ingest loop to redo work.
+    var attempts = 0
+    var out: MergeStats = null
+    while (out == null) {
+      val snap = head()
+      if (snap.ledger.contains(epoch, batchId)) {
+        return MergeStats(epoch, batchId, snap.version, 0, 0, 0, 0, 0, noOp = true)
+      }
+      mergeOnce(snap, batch, epoch, batchId, saltBuckets) match {
+        case Some(stats) => out = stats
+        case None =>
+          attempts += 1
+          if (attempts >= 5) throw new IllegalStateException(
+            s"merge($epoch, $batchId) lost $attempts commit races; giving up " +
+              "(is another writer committing in a tight loop?)")
+          System.err.println(s"[lake] merge($epoch, $batchId) lost a commit " +
+            "race; recomputing against the new head")
+      }
     }
+    out
+  }
+
+  private def mergeOnce(snap: Snapshot, batch: DataFrame, epoch: String,
+                        batchId: Long, saltBuckets: Int): Option[MergeStats] = {
 
     // ---- schema-change events: a separate TINY pass. `op = 'schema_change'`
     // pushes down to the parquet scan, so this touches almost nothing; doing
@@ -449,16 +479,16 @@ final class LakeTable(spark: SparkSession, val root: String) {
       parent = snap.version,
       maxLsn = math.max(snap.maxLsn, batchMaxLsn),
       widenedAt = widened)
-    log.commit(next)
+    if (!log.tryCommit(next)) return None // lost the race: caller recomputes
 
-    MergeStats(epoch, batchId, next.version,
+    Some(MergeStats(epoch, batchId, next.version,
       eventsSeen = eventsSeen + scRows.length,
       duplicatesDropped = eventsSeen - distinctKeys,
       upserts = distinctKeys - deleteWinners,
       deletes = deleteWinners,
       schemaChanges = scApplied,
       schemaQuarantined = scQuarantined,
-      noOp = false)
+      noOp = false))
   }
 
   /** Plain-row write surface backing `df.write.format("graft")`, SQL
@@ -509,47 +539,108 @@ final class LakeTable(spark: SparkSession, val root: String) {
     * any compaction-style rewrite.
     */
   def overwrite(rows: DataFrame, epoch: String, batchId: Long): MergeStats = {
-    val snap = head()
-    if (snap.ledger.contains(epoch, batchId))
-      return MergeStats(epoch, batchId, snap.version, 0, 0, 0, 0, 0, noOp = true)
     // truncate: commit an empty file set (history stays time-travelable),
-    // then run the normal append path against the emptied table
-    log.commit(snap.copy(version = snap.version + 1, files = Seq.empty,
-      parent = snap.version))
+    // then run the normal append path against the emptied table; the
+    // truncate itself retries on a lost commit race
+    var attempts = 0
+    var truncated = false
+    while (!truncated) {
+      val snap = head()
+      if (snap.ledger.contains(epoch, batchId))
+        return MergeStats(epoch, batchId, snap.version, 0, 0, 0, 0, 0, noOp = true)
+      truncated = log.tryCommit(snap.copy(version = snap.version + 1,
+        files = Seq.empty, parent = snap.version))
+      if (!truncated) {
+        attempts += 1
+        if (attempts >= 5) throw new IllegalStateException(
+          s"overwrite($epoch, $batchId) lost $attempts truncate races; giving up")
+      }
+    }
     append(rows, epoch, batchId)
   }
 
-  /** Bin-pack data files and expire old tombstones.
+  /** Bin-pack fragmented data files and expire old tombstones.
     *
-    * Copy-on-write merges leave one file set per touched range per batch;
-    * compaction rewrites the whole table range-clustered at
-    * `targetRowsPerFile`. Tombstones with `_lsn <= tombstoneWatermark` are
-    * dropped — safe once the event source guarantees no event with a smaller
-    * LSN can still arrive (e.g. checkpoint high-water mark minus max
-    * lateness); newer tombstones are retained for late-duplicate protection.
+    * INCREMENTAL by default: copy-on-write merges leave one small file set
+    * per touched range per batch, and only files below `targetRowsPerFile`
+    * rows (plus, when a `tombstoneWatermark` is given, every tombstone file)
+    * are rewritten; files already at the target size carry into the next
+    * snapshot BY REFERENCE — maintenance I/O is O(fragmented files), not
+    * O(table), which is what keeps a periodic in-loop compaction affordable
+    * at the 10^10-event design point. `full = true` forces a whole-table
+    * rewrite (global re-clustering).
+    *
+    * Tombstones with `_lsn <= tombstoneWatermark` are dropped — safe once
+    * the event source guarantees no event with a smaller LSN can still
+    * arrive (e.g. checkpoint high-water mark minus max lateness); newer
+    * tombstones are retained for late-duplicate protection.
+    *
+    * Concurrency: compaction rewrites row state WITHOUT changing it
+    * (`_lsn`/`_ver` pass through as stored), so its output files are valid
+    * under ANY base snapshot that still holds every file it read. On a lost
+    * commit race it therefore REBASES cheaply — re-read head, verify the
+    * rewritten files are all still live there, re-commit carrying the new
+    * head's other files — and only a concurrent writer that replaced one of
+    * those files forces a recompute. (The merge takes the opposite choice:
+    * its rows are stamped with the target commit version, so it always
+    * recomputes — see [[merge]].) Bounded retries, loud failure.
     */
   def compact(targetRowsPerFile: Long = 1000000L,
-              tombstoneWatermark: Option[Long] = None): Snapshot = {
-    val snap = head()
-    val all = readStored(snap, snap.files)
-    val kept = tombstoneWatermark match {
-      case Some(wm) => all.filter(!col("_deleted") || col("_lsn") > wm)
-      case None => all
+              tombstoneWatermark: Option[Long] = None,
+              full: Boolean = false): Snapshot = {
+    var attempts = 0
+    var result: Snapshot = null
+    while (result == null) {
+      val snap = head()
+      val (rewrite, carry) =
+        if (full) (snap.files, Seq.empty[DataFileEntry])
+        else snap.files.partition(f =>
+          f.rows < targetRowsPerFile || (f.tomb && tombstoneWatermark.isDefined))
+      if (rewrite.isEmpty || (rewrite.size == 1 && tombstoneWatermark.isEmpty && !full))
+        return snap // nothing to bin-pack
+      val all = readStored(snap, rewrite)
+      val kept = tombstoneWatermark match {
+        case Some(wm) => all.filter(!col("_deleted") || col("_lsn") > wm)
+        case None => all
+      }
+      val rewriteRows = rewrite.map(_.rows).sum
+      val nParts =
+        math.max(1, math.min(10000, rewriteRows / math.max(1L, targetRowsPerFile))).toInt
+      val newDir = s"${log.dataDir}/compact-v${snap.version + 1}-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      kept.repartitionByRange(nParts, col("repo"), col("path"))
+        .sortWithinPartitions("repo", "path")
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("_deleted").parquet(newDir)
+      val packed = LakeTable.footerStats(spark, newDir)
+      val removed = rewrite.map(_.path).toSet
+      assert(carry.forall(f => !removed.contains(f.path)))
+
+      var base = snap
+      var recompute = false
+      while (result == null && !recompute) {
+        val next = base.copy(
+          version = base.version + 1,
+          files = base.files.filterNot(f => removed.contains(f.path)) ++ packed,
+          parent = base.version)
+        if (log.tryCommit(next)) result = next
+        else {
+          attempts += 1
+          if (attempts >= 8) throw new IllegalStateException(
+            s"compact lost $attempts commit races; giving up")
+          val h = head()
+          if (removed.forall(h.files.map(_.path).toSet.contains)) {
+            System.err.println(s"[lake] compact lost a commit race; rebasing onto v${h.version}")
+            base = h
+          } else {
+            System.err.println("[lake] compact lost a commit race and a rewritten " +
+              "file was replaced concurrently; recomputing")
+            recompute = true
+          }
+        }
+      }
     }
-    val totalRows = snap.files.map(_.rows).sum
-    val nParts = math.max(1, math.min(10000, totalRows / math.max(1L, targetRowsPerFile))).toInt
-    val newDir = s"${log.dataDir}/compact-v${snap.version + 1}-" +
-      java.util.UUID.randomUUID().toString.take(8)
-    kept.repartitionByRange(nParts, col("repo"), col("path"))
-      .sortWithinPartitions("repo", "path")
-      .write.mode("overwrite").option("compression", "zstd")
-      .partitionBy("_deleted").parquet(newDir)
-    val next = snap.copy(
-      version = snap.version + 1,
-      files = LakeTable.footerStats(spark, newDir),
-      parent = snap.version)
-    log.commit(next)
-    next
+    result
   }
 
   /** Expire snapshots older than the last `keepLast`, deleting their metadata

@@ -83,6 +83,12 @@ final case class DataFileEntry(
     tomb: Boolean = false,
     bytes: Long = 0L)
 
+/** A racing writer already published this version. Callers retry against the
+  * new head ([[LakeTable]] rebases compactions and recomputes merges) or
+  * surface the loss; only a true semantic overlap aborts.
+  */
+final class CommitConflictException(msg: String) extends IllegalStateException(msg)
+
 /** From-scratch Iceberg-style snapshot log over any Hadoop FileSystem.
   *
   * Layout: `<root>/meta/v{N}.json` (snapshot) + `<root>/meta/m{N}-{i}.json`
@@ -287,18 +293,26 @@ final class SnapshotLog(spark: SparkSession, root: String) {
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             fs.delete(tmp, false)
-            throw new IllegalStateException(
+            throw new CommitConflictException(
               s"commit conflict: $dest already exists (concurrent writer?)")
         }
       } else false
     if (!linked) {
       if (fs.exists(dest) || !fs.rename(tmp, dest)) {
         fs.delete(tmp, false)
-        throw new IllegalStateException(
+        throw new CommitConflictException(
           s"commit conflict: $dest already exists (concurrent writer?)")
       }
     }
   }
+
+  /** [[commit]], but a lost version race returns false instead of throwing —
+    * the optimistic-concurrency primitive behind [[LakeTable]]'s
+    * rebase/recompute retry loops.
+    */
+  def tryCommit(snap: Snapshot): Boolean =
+    try { commit(snap); true }
+    catch { case _: CommitConflictException => false }
 
   /** Delete manifests referenced by no surviving snapshot (paired with
     * LakeTable.expireSnapshots' data-file GC).

@@ -129,6 +129,46 @@ class MediaFetchSpec extends SparkSuite {
       s"never ran concurrently: ${FetchProbe.maxInFlight.get()}")
   }
 
+  test("a handler that BLOCKS (not throws) is timed out per attempt and skipped") {
+    FetchProbe.reset()
+    val sticky: MediaFetch.Handler = { t =>
+      if (t.url.contains("wedge")) {
+        FetchProbe.attemptsByUrl.merge(t.url, 1, (a, b) => a + b)
+        Thread.sleep(120000) // a hung socket: never throws, never returns
+      }
+      (s"media/${t.evidence_source}/${t.url_hash}.bin", ".bin")
+    }
+    val df = inv(
+      ("h1", "http://wedge/1", "s", None),
+      ("h2", "http://ok/2", "s", None))
+    val t0 = System.nanoTime()
+    val got = MediaFetch.fetchAll(df, Map("s" -> sticky),
+      maxAttempts = 2, attemptTimeoutMs = 300L)
+      .select("url_hash", "status", "attempts").as[(String, String, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(got("h1") === (("h1", "failed", 2))) // timed out twice, then skipped
+    assert(got("h2")._2 === "fetched") // the wedge never stalls healthy rows
+    assert(elapsedMs < 30000, s"wedged handler stalled the task: ${elapsedMs}ms")
+    assert(FetchProbe.attemptsByUrl.getOrDefault("http://wedge/1", 0) === 2,
+      s"expected 2 timed-out attempts, saw ${FetchProbe.attemptsByUrl.get("http://wedge/1")}")
+  }
+
+  test("chooseSaltBuckets estimates consistently across sample rates") {
+    import graft.kernel.Salting
+    // one hot key with 4000 rows + background keys
+    val hot = (0 until 4000).map(_ => ("hot", "k"))
+    val cold = (0 until 1000).map(i => (s"c$i", "k"))
+    val df = (hot ++ cold).toDF("repo", "path")
+    val at2 = Salting.chooseSaltBuckets(df, Seq("repo"), targetPerBucket = 500L, sampleRate = 0.2)
+    val at5 = Salting.chooseSaltBuckets(df, Seq("repo"), targetPerBucket = 500L, sampleRate = 0.5)
+    val full = Salting.chooseSaltBuckets(df, Seq("repo"), targetPerBucket = 500L, sampleRate = 1.0)
+    assert(full === 8, s"exact rate must give hottest/target = 4000/500 = 8, got $full")
+    // sampled estimates un-sample by their own rate → all in the same band
+    assert(math.abs(at2 - full) <= 3, s"rate 0.2 → $at2 vs exact $full")
+    assert(math.abs(at5 - full) <= 2, s"rate 0.5 → $at5 vs exact $full")
+  }
+
   test("a huge pending partition streams through the sliding window (no per-row future buildup)") {
     FetchProbe.reset()
     val gauged: MediaFetch.Handler = { t =>

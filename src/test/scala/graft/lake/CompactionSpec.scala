@@ -45,6 +45,79 @@ class CompactionSpec extends SparkSuite {
     assert(t.read().select("repo").as[String].collect().toSet === pre)
   }
 
+  test("incremental compaction rewrites only fragmented files; cold files carry by reference") {
+    val t = new LakeTable(spark, tmpDir("inc-compact"))
+    t.create(LakeTable.baseSchema)
+    // one large clustered file...
+    val bulk = (0 until 120).map(i => ev(i + 1, "insert", f"r${i % 12}%02d", f"p$i%03d", s"v$i"))
+    t.merge(spark.createDataFrame(spark.sparkContext.parallelize(bulk, 4),
+      EventLog.eventSchema), "e", 0)
+    t.compact(targetRowsPerFile = 500, full = true) // → a single 120-row file
+    val cold = t.head().files
+    assert(cold.size === 1 && cold.head.rows === 120)
+    // ...plus small merges on DISJOINT keys (outside the cold file's key box,
+    // so copy-on-write never touches it)
+    t.merge(batch(ev(200, "insert", "zz", "a", "x1")), "e", 1)
+    t.merge(batch(ev(201, "insert", "zz", "b", "x2")), "e", 2)
+    t.merge(batch(ev(202, "insert", "zz", "c", "x3")), "e", 3)
+    val frag = t.head()
+    assert(frag.files.map(_.path).toSet.contains(cold.head.path))
+    assert(frag.files.size >= 4, s"expected fragmentation: ${frag.files.size}")
+    val pre = t.read().collect().toSet
+
+    // incremental: the 120-row file is ≥ target → carried with the SAME path;
+    // the three 1-row files are bin-packed into one
+    val next = t.compact(targetRowsPerFile = 100)
+    assert(next.files.map(_.path).toSet.contains(cold.head.path),
+      "cold file must carry by reference (same path)")
+    val packed = next.files.filterNot(_.path == cold.head.path)
+    assert(packed.size === 1, s"expected 1 bin-packed file, got ${packed.map(_.path)}")
+    assert(packed.head.rows === 3)
+    assert(t.read().collect().toSet === pre)
+    // and a second pass with nothing fragmented is a metadata no-op
+    assert(t.compact(targetRowsPerFile = 2).version === next.version)
+  }
+
+  test("concurrent merge and compaction: both land; final state equals serialized order") {
+    val t = new LakeTable(spark, tmpDir("concurrent"))
+    t.create(LakeTable.baseSchema)
+    val seed = (0 until 60).map(i => ev(i + 1, "insert", f"r${i % 6}", f"p$i%03d", s"v$i"))
+    t.merge(spark.createDataFrame(spark.sparkContext.parallelize(seed, 4),
+      EventLog.eventSchema), "e", 0)
+
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val merger = Future {
+      gate.await()
+      (1 to 4).foreach { b =>
+        t.merge(batch(ev(100 + b, "update", f"r${b % 6}", f"p${b * 7}%03d", s"u$b")), "e", b)
+      }
+    }
+    val compactor = Future {
+      gate.await()
+      (1 to 3).foreach(_ => t.compact(targetRowsPerFile = 10, full = true))
+    }
+    gate.countDown()
+    Await.result(merger, 120.seconds)
+    Await.result(compactor, 120.seconds)
+    pool.shutdown()
+
+    // every update won (no lost merge), every seed row survived (no lost
+    // compaction carry), and the ledger saw each batch exactly once
+    val contents = t.read().select("path", "content").as[(String, String)].collect().toMap
+    assert(contents.size === 60)
+    (1 to 4).foreach(b => assert(contents(f"p${b * 7}%03d") === s"u$b", s"batch $b lost"))
+    val h = t.head()
+    (0 to 4).foreach(b => assert(h.ledger.contains("e", b)))
+    // serialized-equivalent history: every parent pointer chains to v0
+    var v = h.version
+    while (v > 0) { val s = t.log.read(v); assert(s.parent === v - 1); v = s.parent }
+  }
+
   test("expireSnapshots drops old metadata and GCs unreferenced files") {
     val t = new LakeTable(spark, tmpDir("expire"))
     t.create(LakeTable.baseSchema)

@@ -27,7 +27,7 @@ class GraftSourceSpec extends SparkSuite {
     t.merge(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
       ev(200, "update", "r03", "p003", "v3b"),
       ev(201, "delete", "r05", "p005", null)), 2), EventLog.eventSchema), "e", 1)
-    t.compact(targetRowsPerFile = 20)
+    t.compact(targetRowsPerFile = 20, full = true)
     t
   }
 

@@ -198,7 +198,7 @@ class LakeTableSpec extends SparkSuite {
     t.merge(batch((1 to 8).map(i =>
       ev(i, "insert", s"r$i", s"p$i", s"c$i", "scala", s"v$i")): _*), "e", 0) // v1
     t.merge(batch(ev(9, "update", "r3", "p3", "c9", "scala", "v9")), "e", 1)  // v2
-    t.compact(targetRowsPerFile = 1L)                                         // v3
+    t.compact(targetRowsPerFile = 1L, full = true)                            // v3
     assert(t.head().files.size >= 8)
     // every compacted file carries a maxVer footer stat in the manifest
     assert(t.head().files.forall(_.maxVer.isDefined))

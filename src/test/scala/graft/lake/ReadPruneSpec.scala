@@ -27,7 +27,7 @@ class ReadPruneSpec extends SparkSuite {
     val rows = for (i <- 0 until 200)
       yield ev(i + 1, f"r${i % 20}%02d", f"p$i%03d", s"v$i")
     t.merge(batch(rows), "e", 0)
-    t.compact(targetRowsPerFile = 20)
+    t.compact(targetRowsPerFile = 20, full = true)
     t
   }
 

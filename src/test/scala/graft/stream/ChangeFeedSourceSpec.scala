@@ -169,6 +169,46 @@ class ChangeFeedSourceSpec extends SparkSuite {
     assert(keyed(rows, cols) === keyed(expect, cols))
   }
 
+  test("schema evolution MID-stream: running stream keeps its start schema; restart sees the new one") {
+    val t = freshTable()
+    t.merge(batch(ev(1, "insert", "r1", "a", "c1", "scala", "v1")), "e", 0)
+    val ck = tmpDir("ck-midevolve")
+    val feed = readFeed(t.root, Map("startingVersion" -> "earliest"))
+    assert(!feed.columns.contains("stars"))
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    val q = feed.writeStream
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .option("checkpointLocation", ck)
+      .foreachBatch((b: DataFrame, _: Long) => b.collect().foreach(buf.add))
+      .start()
+    try {
+      q.processAllAvailable()
+      // widen the table WHILE the stream runs, then commit a post-widen row
+      t.merge(batch(
+        ev(2, "schema_change", sc = """{"addColumn":{"name":"stars","type":"long"}}"""),
+        ev(3, "update", "r1", "a", "c3", "scala", "v3",
+          extra = """{"stars": 7}""")), "e", 1)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"running stream failed on schema evolution: ${q.exception}")
+      val delivered = scala.jdk.CollectionConverters.CollectionHasAsScala(buf).asScala.toSeq
+      // the post-evolution change WAS delivered — under the START schema
+      // (Structured Streaming fixes the schema at stream start)
+      assert(delivered.exists(r => r.getString(r.fieldIndex("content")) == "v3"))
+      assert(delivered.forall(r => !r.schema.fieldNames.contains("stars")))
+    } finally q.stop()
+
+    // restart from the SAME checkpoint: the new column is visible, and new
+    // commits deliver its values
+    t.merge(batch(ev(4, "update", "r1", "a", "c4", "scala", "v4",
+      extra = """{"stars": 9}""")), "e", 2)
+    val feed2 = readFeed(t.root, Map("startingVersion" -> "earliest"))
+    assert(feed2.columns.contains("stars"))
+    val (rows2, _) = drain(feed2, ck)
+    val v4 = rows2.filter(r => r.getString(r.fieldIndex("content")) == "v4")
+    assert(v4.nonEmpty, "restarted stream missed the post-restart commit")
+    assert(v4.forall(r => r.getLong(r.fieldIndex("stars")) == 9L))
+  }
+
   test("schema evolution: stream carries columns added before stream start") {
     val t = freshTable()
     t.merge(batch(ev(1, "insert", "r1", "a", "c1", "scala", "v1")), "e", 0)
