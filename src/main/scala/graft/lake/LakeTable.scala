@@ -36,7 +36,8 @@ final case class MergeStats(
   * expressed as one window over the union of the deduped batch and the
   * touched target files — no SQL MERGE needed, every step is a Catalyst plan.
   */
-final class LakeTable(spark: SparkSession, val root: String) {
+final class LakeTable(spark: SparkSession, val root: String,
+                      statColumns: Seq[String] = LakeTable.defaultStatColumns) {
   import LakeTable._
 
   val log = new SnapshotLog(spark, root)
@@ -112,21 +113,30 @@ final class LakeTable(spark: SparkSession, val root: String) {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(true))
     }
-    val bounds = KeyPredicates.extract(cond, keyCols)
+    val bounds = KeyPredicates.extract(cond, prunableColumns)
     readAt(snap, pruneFiles(snap, bounds)).filter(predicate)
   }
 
-  /** Columns with manifest-level min/max stats usable for file pruning. */
-  private[lake] def prunableColumns: Seq[String] = keyCols
+  /** Columns with manifest-level min/max stats usable for file pruning: the
+    * key columns plus the configured secondary stat columns — so a point
+    * query on e.g. `lang` skips files at PLANNING time instead of scanning
+    * every file for a predicate the key ranges know nothing about.
+    */
+  private[lake] def prunableColumns: Seq[String] = keyCols ++ statColumns
 
   /** Files of `snap` that can hold a row inside `bounds` (manifest-level
     * pruning; shared by [[readWhere]] and the `format("graft")` relation).
+    * A column missing from a file's stats contributes no constraint for
+    * that file (fail open — e.g. manifests written before the column was
+    * statted, or a non-string column).
     */
   private[lake] def pruneFiles(
       snap: Snapshot, bounds: Map[String, KeyPredicates.Bound]): Seq[DataFileEntry] =
     snap.files.filter { f =>
-      bounds("repo").overlaps(f.minRepo, f.maxRepo) &&
-      bounds("path").overlaps(f.minPath, f.maxPath)
+      bounds.forall { case (c, b) =>
+        val (mn, mx) = f.boundsOf(c)
+        b.overlaps(mn, mx)
+      }
     }
 
   /** Live rows of selected files — the `format("graft")` relation's scan. */
@@ -468,7 +478,7 @@ final class LakeTable(spark: SparkSession, val root: String) {
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("_deleted").parquet(newDir))
 
-    val newFiles = timed("footer-stats")(LakeTable.footerStats(spark, newDir))
+    val newFiles = timed("footer-stats")(LakeTable.footerStats(spark, newDir, statColumns = statColumns))
 
     val next = Snapshot(
       version = snap.version + 1,
@@ -612,7 +622,7 @@ final class LakeTable(spark: SparkSession, val root: String) {
         .sortWithinPartitions("repo", "path")
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("_deleted").parquet(newDir)
-      val packed = LakeTable.footerStats(spark, newDir)
+      val packed = LakeTable.footerStats(spark, newDir, statColumns = statColumns)
       val removed = rewrite.map(_.path).toSet
       assert(carry.forall(f => !removed.contains(f.path)))
 
@@ -736,7 +746,7 @@ object LakeTable {
 
   private def statsOfFile(
       conf: org.apache.hadoop.conf.Configuration, path: String,
-      tomb: Boolean, bytes: Long): Option[DataFileEntry] = {
+      tomb: Boolean, bytes: Long, statColumns: Seq[String]): Option[DataFileEntry] = {
     import scala.jdk.CollectionConverters._
     val p = new org.apache.hadoop.fs.Path(path)
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
@@ -748,11 +758,35 @@ object LakeTable {
       else {
         val (minR, maxR) = columnBounds(blocks, "repo")
         val (minP, maxP) = columnBounds(blocks, "path")
+        // secondary stat columns: STRING (binary) columns only, bounded in
+        // size — a min may truncate (a prefix is still a valid lower bound),
+        // an over-long max becomes no-bound (a truncated prefix would sort
+        // BELOW the real max and wrongly exclude files). Columns absent from
+        // the file or non-binary record no stats (fail open downstream).
+        val stringCols = reader.getFooter.getFileMetaData.getSchema.getColumns.asScala
+          .filter(_.getPrimitiveType.getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY)
+          .map(_.getPath.mkString(".")).toSet
+        val secondary = statColumns.filter(stringCols.contains).flatMap { c =>
+          columnBounds(blocks, c) match {
+            case (None, None) => None
+            case (mn, mx) => Some(c -> ((
+              mn.map(_.take(statValueCap)),
+              mx.filter(_.length <= statValueCap))))
+          }
+        }.toMap
         Some(DataFileEntry(path, rows, minR, maxR, minP, maxP,
-          longColumnMax(blocks, "_ver"), tomb = tomb, bytes = bytes))
+          longColumnMax(blocks, "_ver"), tomb = tomb, bytes = bytes,
+          stats = secondary))
       }
     } finally reader.close()
   }
+
+  /** Secondary stat values longer than this are not stored exactly (see
+    * [[statsOfFile]]); keeps manifests small even if someone stats a
+    * long-string column.
+    */
+  private val statValueCap = 256
 
   /** Max of an int64 column across a footer's blocks; None when any block
     * lacks the stat, lacks the column (pre-`_ver` files), or holds ANY null
@@ -787,7 +821,8 @@ object LakeTable {
     * a serial driver loop.
     */
   def footerStats(spark: org.apache.spark.sql.SparkSession, dir: String,
-                  distributeThreshold: Int = 128): Seq[DataFileEntry] = {
+                  distributeThreshold: Int = 128,
+                  statColumns: Seq[String] = defaultStatColumns): Seq[DataFileEntry] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val d = new org.apache.hadoop.fs.Path(dir)
     val fs = d.getFileSystem(conf)
@@ -806,15 +841,22 @@ object LakeTable {
       buf.sortBy(_._1).toSeq
     }
     if (files.size <= distributeThreshold)
-      files.flatMap { case (p, t, len) => statsOfFile(conf, p, t, len) }
+      files.flatMap { case (p, t, len) => statsOfFile(conf, p, t, len, statColumns) }
     else {
       val serConf = new org.apache.spark.SerializableWritable(conf)
       val slices = math.min(files.size, spark.sparkContext.defaultParallelism * 2)
       spark.sparkContext.parallelize(files, slices)
-        .flatMap { case (p, t, len) => statsOfFile(serConf.value, p, t, len) }
+        .flatMap { case (p, t, len) => statsOfFile(serConf.value, p, t, len, statColumns) }
         .collect().toSeq.sortBy(_.path)
     }
   }
+
+  /** Default secondary stat columns (north-rule schema): small-cardinality
+    * string columns a user predicates on. `content` is deliberately NOT
+    * statted — document-sized min/max strings would bloat every manifest for
+    * bounds no sane predicate uses.
+    */
+  val defaultStatColumns: Seq[String] = Seq("lang", "commit")
 
   /** North-rule base schema (BASELINE.json input_hint). */
   val baseSchema: StructType = StructType(Seq(

@@ -81,7 +81,17 @@ final case class DataFileEntry(
     minPath: Option[String], maxPath: Option[String],
     maxVer: Option[Long] = None,
     tomb: Boolean = false,
-    bytes: Long = 0L)
+    bytes: Long = 0L,
+    stats: Map[String, (Option[String], Option[String])] = Map.empty) {
+  /** Min/max bound of `column`, unified over the key columns' dedicated
+    * fields and the secondary stats map; (None, None) = unknown (fail open).
+    */
+  def boundsOf(column: String): (Option[String], Option[String]) = column match {
+    case "repo" => (minRepo, maxRepo)
+    case "path" => (minPath, maxPath)
+    case c => stats.getOrElse(c, (None, None))
+  }
+}
 
 /** A racing writer already published this version. Callers retry against the
   * new head ([[LakeTable]] rebases compactions and recomputes merges) or
@@ -332,7 +342,9 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     ("path" -> f.path) ~ ("rows" -> f.rows) ~
     ("minRepo" -> f.minRepo) ~ ("maxRepo" -> f.maxRepo) ~
     ("minPath" -> f.minPath) ~ ("maxPath" -> f.maxPath) ~
-    ("maxVer" -> f.maxVer) ~ ("tomb" -> f.tomb) ~ ("bytes" -> f.bytes)
+    ("maxVer" -> f.maxVer) ~ ("tomb" -> f.tomb) ~ ("bytes" -> f.bytes) ~
+    ("stats" -> f.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      ("col" -> c) ~ ("min" -> mn) ~ ("max" -> mx) })
 
   private def parseEntry(f: JValue): DataFileEntry = {
     implicit val fmt: Formats = DefaultFormats
@@ -352,6 +364,16 @@ final class SnapshotLog(spark: SparkSession, root: String) {
         case JInt(v) => v.toLong
         case JLong(v) => v
         case _ => 0L
+      },
+      stats = (f \ "stats") match {
+        case JArray(ss) => ss.map { s =>
+          def side(n: String): Option[String] = (s \ n) match {
+            case JString(v) => Some(v)
+            case _ => None
+          }
+          (s \ "col").extract[String] -> ((side("min"), side("max")))
+        }.toMap
+        case _ => Map.empty
       })
   }
 

@@ -100,9 +100,105 @@ object Ivf {
     finally pv.unpersist()
   }
 
+  /** A trained, persisted IVF index: `table` holds the assigned corpus as a
+    * BUCKETED parquet table keyed by `__cell` (so probes bucket-prune), and
+    * `table_centroids` the nlist × dim centroid vectors. Train once, probe
+    * many — at the 100 TB design point the index build is a batch job and
+    * every search pays only `nprobe / nlist` of the corpus, with the cell
+    * filter pushed into the bucketed scan (no train, no full-corpus read).
+    */
+  final case class IvfIndex(table: String, centroids: Array[Array[Double]])
+
+  /** Train + assign + persist. The corpus lands bucketed by cell id via
+    * [[graft.kernel.Bucketing.writeBucketed]]; centroids land next to it so
+    * a later session can [[loadIndex]] without retraining.
+    */
+  def buildIndex(
+      corpus: DataFrame, vecCol: String, idCol: String, table: String,
+      nlist: Int = 16, iters: Int = 3, buckets: Int = 0,
+      portable: Boolean = false): IvfIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pv = projected(corpus, vecCol, idCol).persist()
+    try {
+      val cents = trainProjected(pv, nlist, iters, portable)
+      val assigned = assignProjected(pv, cents)
+        .select(col("__cell"), col("__id").as("nbr_id"), col("__v").as("__cv"))
+      val nBuckets = if (buckets > 0) buckets else math.max(1, math.min(nlist, 1024))
+      graft.kernel.Bucketing.writeBucketed(assigned, table, nBuckets, Seq("__cell"))
+      cents.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }.toDF("__cell", "__cv")
+        .coalesce(1).write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${table}_centroids")
+      IvfIndex(table, cents)
+    } finally pv.unpersist()
+  }
+
+  /** Reload a persisted index (no retraining, no corpus scan). */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, table: String): IvfIndex = {
+    val cents = spark.table(s"${table}_centroids")
+      .orderBy("__cell").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    IvfIndex(table, cents)
+  }
+
+  /** Search a persisted index: each query probes its `nprobe` nearest cells;
+    * the probed-cell IN filter reaches the bucketed corpus scan (bucket
+    * pruning — asserted in the plan-audit suite), so a probe reads only the
+    * probed cells' buckets. Output shape matches [[ivfTopK]], and for the
+    * same (corpus, params) the results are identical — train-once/probe-many
+    * changes where the work happens, not the answer.
+    */
+  def probeTopK(
+      index: IvfIndex, queries: DataFrame, vecCol: String, idCol: String,
+      k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val v = Similarity.asDoubleVec(col(vecCol))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d").asc, col("__cell").asc)
+    val q = queries.select(col(idCol).as("query_id"), v.as("__qv"))
+      .crossJoin(broadcast(centroidsDf(spark, index.centroids)))
+      .withColumn("__d", dist2(col("__qv"), col("__cv")))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("__cell"))
+      .persist() // feeds the distinct-cell collect AND the probe join
+    // Spark's DisableUnnecessaryBucketedScan turns bucketed reads OFF when no
+    // join/agg needs the distribution — it does not account for bucket
+    // PRUNING, which is the whole point here (the IN filter then only prunes
+    // at row-group level). Force the bucketed scan for this probe's
+    // execution window; the plan then reads only the probed cells' buckets.
+    val autoBucketKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = spark.conf.getOption(autoBucketKey)
+    spark.conf.set(autoBucketKey, "false")
+    try {
+      // queries are small by contract → the probed cell set is driver-tiny;
+      // materializing it as an IN literal is what lets the scan bucket-prune
+      val cells = q.select(col("__cell")).distinct().collect().map(_.getInt(0))
+      val c = spark.table(index.table)
+        .filter(col("__cell").isin(cells.map(x => x: Any).toSeq: _*))
+      val scored = c.join(broadcast(q), Seq("__cell"))
+        .filter(col("query_id") =!= col("nbr_id"))
+        .withColumn("cosine", round(Similarity.cosine(col("__qv"), col("__cv")), 6))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("nbr_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("nbr_id"), col("cosine"))
+        .localCheckpoint() // executes HERE, inside the forced-bucketing window
+    } finally {
+      q.unpersist()
+      prevAuto match {
+        case Some(v) => spark.conf.set(autoBucketKey, v)
+        case None => spark.conf.unset(autoBucketKey)
+      }
+    }
+  }
+
   /** IVF top-k: same output shape as Similarity.bruteForceTopK/lshTopK —
     * (query_id, rank, nbr_id, cosine). Recall < 1 by construction (probed
-    * cells only); measured against brute force in the test suite.
+    * cells only); measured against brute force in the test suite. One-shot
+    * (train + search in one call); for repeated searches build a persistent
+    * index once with [[buildIndex]] and search via [[probeTopK]].
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, vecCol: String, idCol: String,

@@ -99,6 +99,38 @@ class ReadPruneSpec extends SparkSuite {
     }
   }
 
+  test("secondary-column stats: a lang predicate prunes files with no key bound at all") {
+    val t = new LakeTable(spark, tmpDir("prune-lang"))
+    t.create(LakeTable.baseSchema)
+    def evLang(lsn: Long, repo: String, path: String, lang: String): Row =
+      Row(lsn, 0L, new java.sql.Timestamp(1700000000000L + lsn * 1000), "insert",
+        repo, path, s"c$lsn", lang, s"v$lsn", null, null)
+    // disjoint key ranges per language → per-file lang stats are tight
+    t.merge(batch((0 until 40).map(i => evLang(i + 1, f"a$i%02d", "p", "go"))), "e", 0)
+    t.merge(batch((0 until 40).map(i => evLang(100 + i, f"m$i%02d", "p", "python"))), "e", 1)
+    t.merge(batch((0 until 40).map(i => evLang(200 + i, f"z$i%02d", "p", "scala"))), "e", 2)
+    val total = t.head().files.size
+    assert(total >= 3, s"expected one file set per merge, got $total")
+    assert(t.head().files.forall(_.stats.contains("lang")),
+      "manifests must carry lang bounds")
+
+    val pred = col("lang") === "go"
+    val pruned = t.readWhere(pred)
+    assert(pruned.count() === 40)
+    val n = scannedFiles(pruned)
+    assert(n < total, s"lang predicate should prune files ($n of $total scanned)")
+    assert(pruned.collect().toSet === t.read().filter(pred).collect().toSet)
+
+    // the same pruning reaches the format("graft") native scan's planned files
+    val q = spark.read.format("graft").option("path", t.root).load().filter(pred)
+    val planned = q.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(Nil, f.dataFilters).map(_.files.size).sum
+    }.sum
+    assert(planned < total, s"native scan planned $planned of $total files")
+    assert(q.count() === 40)
+  }
+
   test("contradictory bounds read zero files and return nothing") {
     val t = compactedTable()
     val pred = col("repo") === "r01" && col("repo") === "r19"

@@ -360,6 +360,48 @@ class SimilaritySpec extends SparkSuite {
     assert(again === ivf)
   }
 
+  test("persisted IVF index: train once, probe many — results match the one-shot path, probes bucket-prune") {
+    val queries = corpus.filter(col("vec_id") < 20)
+    val oneShot = Ivf.ivfTopK(corpus, queries, "embedding", "vec_id",
+      k = 5, nlist = 10, nprobe = 3, iters = 3)
+      .as[(Long, Int, Long, Double)].collect().toSet
+
+    val idx = Ivf.buildIndex(corpus, "embedding", "vec_id", "ivf_idx_test",
+      nlist = 10, iters = 3, buckets = 10)
+    try {
+      // probe #1: identical answers without retraining or a corpus scan
+      val probed = Ivf.probeTopK(idx, queries, "embedding", "vec_id", k = 5, nprobe = 3)
+      assert(probed.as[(Long, Int, Long, Double)].collect().toSet === oneShot)
+      // probe #2 (different query set): still consistent with one-shot
+      val q2 = corpus.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+      val p2 = Ivf.probeTopK(idx, q2, "embedding", "vec_id", k = 5, nprobe = 3)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val o2 = Ivf.ivfTopK(corpus, q2, "embedding", "vec_id",
+        k = 5, nlist = 10, nprobe = 3, iters = 3)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(p2 === o2)
+      // a reloaded index (fresh session metadata only) answers identically
+      val reloaded = Ivf.loadIndex(spark, "ivf_idx_test")
+      assert(reloaded.centroids.map(_.toSeq).toSeq === idx.centroids.map(_.toSeq).toSeq)
+
+      // plan audit: with bucketed scans active (what probeTopK forces during
+      // its execution window) the probed-cell filter prunes whole BUCKETS
+      val one = corpus.filter(col("vec_id") === 0L)
+      assert(Ivf.probeTopK(idx, one, "embedding", "vec_id", k = 5, nprobe = 2).count() > 0)
+      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      spark.conf.set(key, "false")
+      try {
+        val scan = spark.table("ivf_idx_test").filter(col("__cell").isin(3, 7))
+        val s = scan.queryExecution.executedPlan.toString
+        assert(s.contains("SelectedBucketsCount: 2 out of 10"),
+          s"bucket pruning missing from plan:\n$s")
+      } finally spark.conf.unset(key)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
+      spark.sql("DROP TABLE IF EXISTS ivf_idx_test_centroids")
+    }
+  }
+
   test("ivfTopK at nlist=256: broadcast-join assignment keeps recall and determinism at realistic cell counts") {
     // 16-dim clustered corpus, 640 rows over 64 clusters — enough rows that
     // 256 cells are meaningfully populated and the plan carries NO centroid
