@@ -57,6 +57,8 @@ object SparkEntry {
     "q_embedding_topk"     -> Queries.embeddingTopK _,
     "q_ann_lsh_topk"       -> Queries.annLshTopK _,
     "q_ivf_topk"           -> Queries.ivfTopK _,
+    "q_ivf_probe_topk"     -> Queries.ivfProbeTopK _,
+    "q_lake_write_read"    -> Queries.lakeWriteRead _,
     // --- text analysis ---
     "q_token_count"        -> Queries.tokenCountQ _,
     "q_quality_score"      -> Queries.qualityScoreQ _,
@@ -315,6 +317,14 @@ object SparkEntry {
       shingleK = 3, bottomK = 8, maxBucket = 256, threshold = 0.3),
     "q_ivf_topk" -> OracleGen.ivfTopKSql(
       nlist = 16, nprobe = 4, k = 5, iters = 3, dim = 64, queryMax = 20),
+    // the persisted-index probe path promises results IDENTICAL to the
+    // one-shot IVF for the same (corpus, params) — same oracle, and a
+    // mismatch would expose any train/persist/probe divergence
+    "q_ivf_probe_topk" -> OracleGen.ivfTopKSql(
+      nlist = 16, nprobe = 4, k = 5, iters = 3, dim = 64, queryMax = 20),
+    // write → commit → native read must be lossless; the oracle is the
+    // source table itself
+    "q_lake_write_read" -> "SELECT doc_id, lang, text FROM documents",
   )
 }
 
@@ -986,6 +996,37 @@ object Queries {
     val e = embeddings(s, d)
     graft.ops.Ivf.ivfTopK(e, e.filter(col("vec_id") < 20),
       "embedding", "vec_id", k = 5, nlist = 16, nprobe = 4, portable = true)
+  }
+
+  /** Full standard-API lake round trip: plain rows → `df.write.format
+    * ("graft")` (one committed snapshot through the merge path) →
+    * `spark.read.format("graft")` native scan back. The oracle is the
+    * source table itself — the write/read pair must be lossless.
+    */
+  def lakeWriteRead(s: SparkSession, d: String): DataFrame = {
+    val root = scratchDir("lakewrite", d)
+    documents(s, d).select(
+        lit("docs").as("repo"),
+        col("doc_id").cast("string").as("path"),
+        col("lang"),
+        col("text").as("content"))
+      .write.format("graft").mode("overwrite").option("path", root).save()
+    s.read.format("graft").option("path", root).load()
+      .select(col("path").cast("long").as("doc_id"), col("lang"),
+        col("content").as("text"))
+  }
+
+  /** Train-once/probe-many IVF: build the bucketed index artifact, then
+    * answer through [[graft.ops.Ivf.probeTopK]] — same oracle as the
+    * one-shot path (identical-results contract).
+    */
+  def ivfProbeTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val tbl = "ivf_probe_idx_" + Integer.toHexString(d.hashCode).takeWhile(_ != '-')
+    val idx = graft.ops.Ivf.buildIndex(e, "embedding", "vec_id", tbl,
+      nlist = 16, iters = 3, buckets = 16, portable = true)
+    graft.ops.Ivf.probeTopK(idx, e.filter(col("vec_id") < 20),
+      "embedding", "vec_id", k = 5, nprobe = 4)
   }
 
   // ------------------------------------------------------------------

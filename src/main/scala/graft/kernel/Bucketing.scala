@@ -18,8 +18,23 @@ object Bucketing {
     * session catalog. Both sides of a co-located join must use the same
     * bucket count and key.
     */
+  /** Drop `table` from the catalog AND remove an orphaned managed location a
+    * previous session may have left behind: an in-memory catalog forgets its
+    * tables across JVMs while the warehouse files persist, and a leftover
+    * location makes the next managed-table creation fail
+    * (LOCATION_ALREADY_EXISTS).
+    */
+  def dropManaged(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+  }
+
   def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "bucket keys required")
+    dropManaged(df.sparkSession, table)
     df.write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

@@ -89,20 +89,18 @@ final class GraftSourceProvider extends RelationProvider
           s"graft table already exists at $root (mode ErrorIfExists)")
       case SaveMode.Ignore if exists => None
       case SaveMode.Overwrite =>
-        Some(df => { ensureCreated(table, df, exists); table.overwrite(df, writerEpoch(), 0L) })
+        Some(df => { ensureCreated(table, df, exists)
+          // single-shot writes skip the ledger: they never replay, and one
+          // never-reused epoch per save() would grow every snapshot's
+          // metadata forever — the commit-retry loop alone is exactly-once
+          table.overwrite(df, "adhoc", 0L, recordInLedger = false) })
       case _ => // Append, or any mode on a fresh table
-        Some(df => { ensureCreated(table, df, exists); table.append(df, writerEpoch(), 0L) })
+        Some(df => { ensureCreated(table, df, exists)
+          table.append(df, "adhoc", 0L, recordInLedger = false) })
     }
     write.foreach(_(data))
     createRelation(sqlContext, parameters)
   }
-
-  /** Each ad-hoc `save()` is its own ledger epoch: two saves of the same
-    * frame are two upsert batches, not a deduplicated replay (streams that
-    * NEED replay dedup set a stable epoch on the sink instead).
-    */
-  private def writerEpoch(): String =
-    s"writer-${java.util.UUID.randomUUID().toString.take(8)}"
 
   private def ensureCreated(table: LakeTable, data: DataFrame, exists: Boolean): Unit =
     if (!exists) {

@@ -69,9 +69,9 @@ final case class GraftInsertCommand(
         df0.toDF(tableCols: _*)
       }
     val table = new LakeTable(spark, root)
-    val epoch = s"sql-${java.util.UUID.randomUUID().toString.take(8)}"
-    if (overwrite) table.overwrite(df, epoch, 0L)
-    else table.append(df, epoch, 0L)
+    // single-shot SQL writes skip the ledger (see LakeTable.merge docs)
+    if (overwrite) table.overwrite(df, "adhoc", 0L, recordInLedger = false)
+    else table.append(df, "adhoc", 0L, recordInLedger = false)
     Seq.empty
   }
 }

@@ -239,7 +239,16 @@ final class LakeTable(spark: SparkSession, val root: String,
     }
   }
 
-  def merge(batch: DataFrame, epoch: String, batchId: Long, saltBuckets: Int = 0): MergeStats = {
+  /** `recordInLedger = false` is for SINGLE-SHOT writes (`df.write`, SQL
+    * INSERT): they never replay, and recording a fresh never-reused epoch
+    * per call would grow the ledger — serialized into EVERY snapshot — by
+    * one entry per ad-hoc write forever. Exactly-once for such a write is
+    * the commit loop itself (a recompute only happens when our commit did
+    * NOT land). Replayable writers (streams) keep the default and get
+    * ledger idempotence per (epoch, batchId).
+    */
+  def merge(batch: DataFrame, epoch: String, batchId: Long, saltBuckets: Int = 0,
+            recordInLedger: Boolean = true): MergeStats = {
     // Optimistic concurrency: on a lost commit race the merge RECOMPUTES
     // against the new head rather than rebasing its output metadata. A
     // metadata-only rebase is UNSOUND for a merge: output rows are stamped
@@ -253,10 +262,10 @@ final class LakeTable(spark: SparkSession, val root: String,
     var out: MergeStats = null
     while (out == null) {
       val snap = head()
-      if (snap.ledger.contains(epoch, batchId)) {
+      if (recordInLedger && snap.ledger.contains(epoch, batchId)) {
         return MergeStats(epoch, batchId, snap.version, 0, 0, 0, 0, 0, noOp = true)
       }
-      mergeOnce(snap, batch, epoch, batchId, saltBuckets) match {
+      mergeOnce(snap, batch, epoch, batchId, saltBuckets, recordInLedger) match {
         case Some(stats) => out = stats
         case None =>
           attempts += 1
@@ -271,7 +280,8 @@ final class LakeTable(spark: SparkSession, val root: String,
   }
 
   private def mergeOnce(snap: Snapshot, batch: DataFrame, epoch: String,
-                        batchId: Long, saltBuckets: Int): Option[MergeStats] = {
+                        batchId: Long, saltBuckets: Int,
+                        recordInLedger: Boolean): Option[MergeStats] = {
 
     // ---- schema-change events: a separate TINY pass. `op = 'schema_change'`
     // pushes down to the parquet scan, so this touches almost nothing; doing
@@ -485,7 +495,7 @@ final class LakeTable(spark: SparkSession, val root: String,
       schema = schema,
       addedAtLsn = addedAt,
       files = snap.files.filterNot(f => touched.contains(f.path)) ++ newFiles,
-      ledger = snap.ledger.add(epoch, batchId),
+      ledger = if (recordInLedger) snap.ledger.add(epoch, batchId) else snap.ledger,
       parent = snap.version,
       maxLsn = math.max(snap.maxLsn, batchMaxLsn),
       widenedAt = widened)
@@ -514,7 +524,8 @@ final class LakeTable(spark: SparkSession, val root: String,
     * collapse to one winner (by generated event order — upsert promises one
     * survivor per key, not which).
     */
-  def append(rows: DataFrame, epoch: String, batchId: Long): MergeStats = {
+  def append(rows: DataFrame, epoch: String, batchId: Long,
+             recordInLedger: Boolean = true): MergeStats = {
     val snap = head()
     val present = rows.columns.toSet
     val unknown = present -- snap.schema.fieldNames
@@ -539,7 +550,7 @@ final class LakeTable(spark: SparkSession, val root: String,
       lit("insert").as("op"),
       lit(null).cast(StringType).as("schema_change"),
       extraCol.as("extra")): _*)
-    merge(ev, epoch, batchId)
+    merge(ev, epoch, batchId, recordInLedger = recordInLedger)
   }
 
   /** `SaveMode.Overwrite` / `INSERT OVERWRITE`: replace the table's contents
@@ -548,7 +559,8 @@ final class LakeTable(spark: SparkSession, val root: String,
     * the overwrite version's files as a full rewrite; resume across it like
     * any compaction-style rewrite.
     */
-  def overwrite(rows: DataFrame, epoch: String, batchId: Long): MergeStats = {
+  def overwrite(rows: DataFrame, epoch: String, batchId: Long,
+                recordInLedger: Boolean = true): MergeStats = {
     // truncate: commit an empty file set (history stays time-travelable),
     // then run the normal append path against the emptied table; the
     // truncate itself retries on a lost commit race
@@ -556,7 +568,7 @@ final class LakeTable(spark: SparkSession, val root: String,
     var truncated = false
     while (!truncated) {
       val snap = head()
-      if (snap.ledger.contains(epoch, batchId))
+      if (recordInLedger && snap.ledger.contains(epoch, batchId))
         return MergeStats(epoch, batchId, snap.version, 0, 0, 0, 0, 0, noOp = true)
       truncated = log.tryCommit(snap.copy(version = snap.version + 1,
         files = Seq.empty, parent = snap.version))
@@ -566,7 +578,7 @@ final class LakeTable(spark: SparkSession, val root: String,
           s"overwrite($epoch, $batchId) lost $attempts truncate races; giving up")
       }
     }
-    append(rows, epoch, batchId)
+    append(rows, epoch, batchId, recordInLedger = recordInLedger)
   }
 
   /** Bin-pack fragmented data files and expire old tombstones.

@@ -126,6 +126,7 @@ object Ivf {
         .select(col("__cell"), col("__id").as("nbr_id"), col("__v").as("__cv"))
       val nBuckets = if (buckets > 0) buckets else math.max(1, math.min(nlist, 1024))
       graft.kernel.Bucketing.writeBucketed(assigned, table, nBuckets, Seq("__cell"))
+      graft.kernel.Bucketing.dropManaged(spark, s"${table}_centroids")
       cents.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }.toDF("__cell", "__cv")
         .coalesce(1).write.mode("overwrite").format("parquet")
         .saveAsTable(s"${table}_centroids")

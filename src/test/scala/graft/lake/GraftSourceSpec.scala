@@ -164,6 +164,11 @@ class GraftSourceSpec extends SparkSuite {
       .write.format("graft").option("path", root).mode("overwrite").save()
     assert(t.read().select("repo").as[String].collect().toSeq === Seq("r9"))
     assert(t.readVersion(preVer).count() === 3)
+    // single-shot writes must NOT accrete ledger entries: the ledger is
+    // serialized into every snapshot, so one never-reused epoch per save()
+    // would grow all future metadata forever
+    assert(t.head().ledger.size === 0,
+      s"ad-hoc saves leaked into the ledger: ${t.head().ledger}")
   }
 
   test("SQL INSERT INTO routes through the committing write path") {

@@ -85,6 +85,16 @@ class CdcIngestSpec extends SparkSuite {
     assert(in.table.head().files.size < 8, s"files=${in.table.head().files.size}")
   }
 
+  test("recordOp alone advances the periodic lineage flush (op-only workloads)") {
+    val root = tmpDir("lineage-oponly")
+    val lin = new Lineage(spark, root, flushEvery = 2)
+    lin.recordOp("dedup", "rows_dropped_by_bucket_cap", 5L)
+    lin.recordOp("dedup", "buckets_capped", 1L) // second record event → flush
+    // rows are on disk with NO explicit flush() call
+    val rows = lin.read().collect()
+    assert(rows.length === 2, s"op-only records did not flush: ${rows.toSeq}")
+  }
+
   test("ProcessingTime ingest flushes lineage mid-run; stopping the stream loses at most flushEvery batches") {
     val work = tmpDir("cdcPT")
     EventLog.write(spark, cfg, s"$work/events", 8)
