@@ -667,28 +667,47 @@ final class LakeTable(spark: SparkSession, val root: String,
 
   /** Expire snapshots older than the last `keepLast`, deleting their metadata
     * and any data files no surviving snapshot references (GC).
+    *
+    * Concurrency-safe against in-flight writers: every commit dir is named
+    * for the version it TARGETS (`v{N}-…` / `compact-v{N}-…`), and the GC
+    * only deletes unreferenced files from dirs whose target version is
+    * already below the retention floor. A writer currently streaming its
+    * output into `v{head+1}-…` can never be collected mid-write (its target
+    * is above the floor by construction); a crashed/lost-race attempt's
+    * orphan dir ages below the floor and is collected on a later cycle.
+    * Unparseable dir names are skipped (fail safe — never delete what we
+    * cannot attribute).
     */
   def expireSnapshots(keepLast: Int = 2): Unit = {
     require(keepLast >= 1)
     val latest = log.latestVersion().getOrElse(return)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val keepVersions = (math.max(0L, latest - keepLast + 1) to latest)
+    val keepFloor = math.max(0L, latest - keepLast + 1)
+    val keepVersions = (keepFloor to latest)
     val live: Set[String] = keepVersions.flatMap(v => log.read(v).files.map(_.path)).toSet
     // drop old metadata, then manifests no surviving snapshot references
-    (0L until math.max(0L, latest - keepLast + 1)).foreach { v =>
+    (0L until keepFloor).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"meta/v$v.json"), false)
     }
     log.gcManifests(keepVersions)
     // GC unreferenced data files (recursive: `partitionBy("_deleted")` nests
     // files one level below each commit dir)
+    val dirVer = "^(?:compact-)?v(\\d+)".r
+    def targetVersion(p: org.apache.hadoop.fs.Path): Option[Long] = {
+      // walk up to the child of dataDir (the commit dir) and parse its name
+      var cur = p
+      while (cur.getParent != null && cur.getParent.getName != "data") cur = cur.getParent
+      dirVer.findFirstMatchIn(cur.getName).map(_.group(1).toLong)
+    }
     val dataPath = new org.apache.hadoop.fs.Path(log.dataDir)
     if (fs.exists(dataPath)) {
       val it = fs.listFiles(dataPath, true)
       while (it.hasNext) {
         val f = it.next()
         if (f.getPath.getName.endsWith(".parquet") &&
-            !live.contains(fs.makeQualified(f.getPath).toString))
+            !live.contains(fs.makeQualified(f.getPath).toString) &&
+            targetVersion(f.getPath).exists(_ < keepFloor))
           fs.delete(f.getPath, false)
       }
     }

@@ -118,6 +118,29 @@ class CompactionSpec extends SparkSuite {
     while (v > 0) { val s = t.log.read(v); assert(s.parent === v - 1); v = s.parent }
   }
 
+  test("GC never collects an in-flight writer's dir; aged orphan attempts are collected") {
+    val t = new LakeTable(spark, tmpDir("gc-inflight"))
+    t.create(LakeTable.baseSchema)
+    for (i <- 0 until 4)
+      t.merge(batch(ev(i + 1, if (i == 0) "insert" else "update", "r1", "p", s"v$i")), "e", i)
+    val head = t.head().version
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def plant(dir: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(t.log.dataDir, s"$dir/_deleted=false/part-0.parquet")
+      val out = fs.create(p, true)
+      try out.write(Array[Byte](1, 2, 3)) finally out.close()
+      p
+    }
+    // a writer mid-flight toward the NEXT version, and a crashed attempt
+    // from long before the retention floor — both unreferenced
+    val inflight = plant(s"v${head + 1}-b9-aaaa1111")
+    val orphan = plant("v1-b0-bbbb2222")
+    t.expireSnapshots(keepLast = 1)
+    assert(fs.exists(inflight), "GC must not collect an in-flight commit dir")
+    assert(!fs.exists(orphan), "an orphan attempt below the floor must be collected")
+    assert(t.read().count() === 1) // table state untouched
+  }
+
   test("expireSnapshots drops old metadata and GCs unreferenced files") {
     val t = new LakeTable(spark, tmpDir("expire"))
     t.create(LakeTable.baseSchema)
