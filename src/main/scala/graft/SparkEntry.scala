@@ -52,6 +52,7 @@ object SparkEntry {
     "q_ngram_jaccard"      -> Queries.ngramJaccardQ _,
     "q_word_jaccard_pairs" -> Queries.wordJaccardPairs _,
     "q_dedup_clusters"     -> Queries.dedupClusters _,
+    "q_dedup_filtered_corpus" -> Queries.dedupFilteredCorpus _,
     "q_embedding_near_dup" -> Queries.embeddingNearDupQ _,
     // --- similarity search ---
     "q_embedding_topk"     -> Queries.embeddingTopK _,
@@ -177,6 +178,17 @@ object SparkEntry {
          |  UNION
          |  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src)
          |SELECT src AS doc_id, min(lbl) AS canonical_id FROM walk GROUP BY src""".stripMargin,
+    "q_dedup_filtered_corpus" ->
+      s"""WITH RECURSIVE pj AS (${OracleGen.wordJaccardSql}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pj UNION SELECT id_b, id_a FROM pj),
+         |walk(src, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src),
+         |canon AS (SELECT src AS doc_id, min(lbl) AS canonical_id FROM walk GROUP BY src)
+         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         |LEFT JOIN canon c ON d.doc_id = c.doc_id
+         |WHERE c.doc_id IS NULL OR c.doc_id = c.canonical_id""".stripMargin,
     "q_embedding_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
         |           FROM embeddings WHERE vec_id < 20),
@@ -961,6 +973,20 @@ object Queries {
     */
   def dedupClusters(s: SparkSession, d: String): DataFrame =
     graft.ops.DedupOps.canonicalClusters(wordJaccardPairs(s, d))
+
+  /** The artifact a training-data pipeline actually ships: the corpus with
+    * every near-duplicate cluster collapsed to its canonical member
+    * (pairs → transitive clusters → keep-one anti-join). Documents in no
+    * cluster pass through; non-canonical members drop. The anti-join is
+    * keyed on doc_id — at 100 TB it is a hash-shuffle anti-join against a
+    * drop-list that is small relative to the corpus (duplicates only).
+    */
+  def dedupFilteredCorpus(s: SparkSession, d: String): DataFrame = {
+    val clusters = dedupClusters(s, d) // (doc_id, canonical_id)
+    val drop = clusters.filter(col("doc_id") =!= col("canonical_id")).select("doc_id")
+    documents(s, d).join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
 
   /** planes derived from the threshold (planes = 0) so candidate recall at
     * cosine 0.5 is ≥ 0.9 — the round-2 fixed geometry (12 planes) had ~2%
