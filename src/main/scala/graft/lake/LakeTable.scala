@@ -614,11 +614,17 @@ final class LakeTable(spark: SparkSession, val root: String,
     var result: Snapshot = null
     while (result == null) {
       val snap = head()
+      // fragmented (undersized) files bin-pack together; JUMBO files (> 4×
+      // target — e.g. one giant initial load) split so a later point read
+      // is not hostage to a single huge range; tombstone files join the
+      // rewrite when a watermark may expire rows in them
       val (rewrite, carry) =
         if (full) (snap.files, Seq.empty[DataFileEntry])
         else snap.files.partition(f =>
-          f.rows < targetRowsPerFile || (f.tomb && tombstoneWatermark.isDefined))
-      if (rewrite.isEmpty || (rewrite.size == 1 && tombstoneWatermark.isEmpty && !full))
+          f.rows < targetRowsPerFile || f.rows > 4 * targetRowsPerFile ||
+            (f.tomb && tombstoneWatermark.isDefined))
+      val onlyOneSmall = rewrite.size == 1 && rewrite.head.rows < targetRowsPerFile
+      if (rewrite.isEmpty || (onlyOneSmall && tombstoneWatermark.isEmpty && !full))
         return snap // nothing to bin-pack
       val all = readStored(snap, rewrite)
       val kept = tombstoneWatermark match {

@@ -74,8 +74,20 @@ class CompactionSpec extends SparkSuite {
     assert(packed.size === 1, s"expected 1 bin-packed file, got ${packed.map(_.path)}")
     assert(packed.head.rows === 3)
     assert(t.read().collect().toSet === pre)
-    // and a second pass with nothing fragmented is a metadata no-op
-    assert(t.compact(targetRowsPerFile = 2).version === next.version)
+    // a pass where the only undersized file is alone (nothing to pack it
+    // with) and nothing is jumbo is a metadata no-op
+    assert(t.compact(targetRowsPerFile = 30).version === next.version)
+
+    // incremental mode also SPLITS jumbo files (> 4× target): at target 3
+    // the 120-row file is jumbo and splits, while the 3-row packed file is
+    // exactly in range and carries by reference
+    val split = t.compact(targetRowsPerFile = 3)
+    assert(!split.files.map(_.path).contains(cold.head.path), "jumbo file must split")
+    assert(split.files.map(_.path).toSet.contains(packed.head.path),
+      "in-range file must still carry by reference")
+    assert(split.files.count(f => !f.tomb && f.path != packed.head.path) >= 4,
+      s"expected the 120-row file split into several: ${split.files.map(_.rows)}")
+    assert(t.read().collect().toSet === pre)
   }
 
   test("concurrent merge and compaction: both land; final state equals serialized order") {
