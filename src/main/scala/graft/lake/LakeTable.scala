@@ -553,6 +553,28 @@ final class LakeTable(spark: SparkSession, val root: String,
     merge(ev, epoch, batchId, recordInLedger = recordInLedger)
   }
 
+  /** Delete every key in `keys` (columns `repo`, `path`): tombstone events
+    * at the table's next LSN through the same merge path — late duplicates
+    * of older updates still lose to these tombstones, and the change feed
+    * sees ordinary delete rows.
+    */
+  def delete(keys: DataFrame, epoch: String, batchId: Long,
+             recordInLedger: Boolean = true): MergeStats = {
+    val snap = head()
+    val lsn = math.max(snap.maxLsn, 0L) + 1
+    val base = snap.schema.fields.toSeq.filterNot(f => snap.addedAtLsn.contains(f.name))
+    val ev = keys.select(
+      Seq(col("repo"), col("path")) ++
+      base.filterNot(f => keyCols.contains(f.name))
+        .map(f => lit(null).cast(f.dataType).as(f.name)) ++
+      Seq(lit(lsn).as("lsn"),
+        monotonically_increasing_id().as("event_id"),
+        lit("delete").as("op"),
+        lit(null).cast(StringType).as("schema_change"),
+        lit(null).cast(StringType).as("extra")): _*)
+    merge(ev, epoch, batchId, recordInLedger = recordInLedger)
+  }
+
   /** `SaveMode.Overwrite` / `INSERT OVERWRITE`: replace the table's contents
     * with `rows` in one commit (Iceberg REPLACE semantics). The previous
     * contents do NOT surface as deletes in the change feed — consumers see

@@ -197,6 +197,38 @@ class GraftSourceSpec extends SparkSuite {
     }
   }
 
+  test("SQL DML: column-list INSERT, DELETE, and UPDATE route through the merge path") {
+    val root = tmpDir("gdml")
+    val t = new LakeTable(spark, root)
+    t.create(LakeTable.baseSchema)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gdml USING graft OPTIONS (path '$root')")
+    try {
+      // partial-column INSERT: unlisted columns null-fill
+      spark.sql("INSERT INTO gdml (repo, path, content) VALUES " +
+        "('r1', 'a', 'v1'), ('r1', 'b', 'v2'), ('r2', 'c', 'v3')")
+      assert(t.read().count() === 3)
+      assert(t.read().filter(col("path") === "a")
+        .select("lang").as[Option[String]].head().isEmpty)
+
+      // UPDATE applies assignments to matching rows and upserts them
+      spark.sql("UPDATE gdml SET lang = 'scala', content = concat(content, '!') " +
+        "WHERE repo = 'r1'")
+      assert(t.read().filter(col("repo") === "r1")
+        .select("content").as[String].collect().toSet === Set("v1!", "v2!"))
+      assert(t.read().filter(col("repo") === "r2")
+        .select("lang").as[Option[String]].head().isEmpty)
+
+      // DELETE tombstones the matching keys (visible to readRaw as tombstones)
+      spark.sql("DELETE FROM gdml WHERE path = 'b'")
+      assert(t.read().count() === 2)
+      assert(t.readRaw().filter(col("_deleted")).count() === 1)
+
+      // key-column UPDATE is rejected loudly
+      val e = intercept[Exception](spark.sql("UPDATE gdml SET repo = 'x'"))
+      assert(e.getMessage.contains("key column"), e.getMessage)
+    } finally spark.catalog.dropTempView("gdml")
+  }
+
   test("streaming sink: per-(epoch, batchId) ledger makes a replayed batch a no-op") {
     val root = tmpDir("gsink")
     val sink = new GraftSink(spark, root, "e1")
