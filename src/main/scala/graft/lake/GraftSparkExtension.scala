@@ -1,8 +1,8 @@
 package graft.lake
 
 import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.AttributeReference
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, AttributeSet, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -17,6 +17,11 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * INSERT OVERWRITE t SELECT ...;
   * DELETE FROM t WHERE repo = 'r1';          -- tombstone events
   * UPDATE t SET lang = 'scala' WHERE ...;    -- read-project-upsert
+  * MERGE INTO t USING src s                  -- one committed change batch
+  *   ON t.repo = s.repo AND t.path = s.path
+  *   WHEN MATCHED AND s.op = 'del' THEN DELETE
+  *   WHEN MATCHED THEN UPDATE SET content = s.content
+  *   WHEN NOT MATCHED THEN INSERT *;
   * }}}
   *
   * Why a rule is REQUIRED and not a nicety: Spark's own v1 fallback turns
@@ -82,6 +87,84 @@ final class GraftInsertRule(spark: SparkSession) extends Rule[LogicalPlan] {
       require(!byName.exists(kv => kv._1 == "repo" || kv._1 == "path"),
         "cannot UPDATE a key column (repo, path) — DELETE then INSERT instead")
       GraftUpdateCommand(root, byName, cond.map(GraftDml.unbind))
+
+    // MERGE INTO t USING s ON t.repo = … AND t.path = … WHEN MATCHED/NOT
+    // MATCHED … — the north rule's statement-level surface. Each source row
+    // becomes ONE change event (insert/delete) at the table's next LSN
+    // through the same merge path; semantics notes on [[GraftMergeCommand]].
+    case m @ MergeIntoTable(GraftRel(tgtLr, root), source, mergeCond,
+        matchedActions, notMatchedActions, notMatchedBySource, withSchemaEvolution)
+        if source.resolved && mergeCond.resolved &&
+          (matchedActions ++ notMatchedActions).forall(_.resolved) =>
+      require(notMatchedBySource.isEmpty,
+        "graft MERGE does not support WHEN NOT MATCHED BY SOURCE " +
+          "(express target-side sweeps as DELETE FROM … WHERE)")
+      require(!withSchemaEvolution,
+        "graft MERGE does not take WITH SCHEMA EVOLUTION — schema evolves " +
+          "through schema_change events")
+      val tgtSet = tgtLr.outputSet
+      val srcSet = source.outputSet
+      def sides(e: Expression): GraftDml.Unbound = GraftDml.unbindSides(e, tgtSet, srcSet)
+
+      // the ON clause must pin both key columns to source-side expressions;
+      // any extra conjuncts join as additional predicates
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case x => Seq(x)
+      }
+      var keyExprs = Map.empty[String, GraftDml.Unbound]
+      var extra = Vector.empty[GraftDml.Unbound]
+      def srcOnly(e: Expression): Boolean = e.references.subsetOf(srcSet)
+      conjuncts(mergeCond).foreach {
+        case EqualTo(a: AttributeReference, v)
+            if tgtSet.contains(a) && Seq("repo", "path").contains(a.name) && srcOnly(v) =>
+          keyExprs += a.name -> sides(v)
+        case EqualTo(v, a: AttributeReference)
+            if tgtSet.contains(a) && Seq("repo", "path").contains(a.name) && srcOnly(v) =>
+          keyExprs += a.name -> sides(v)
+        case other => extra :+= sides(other)
+      }
+      require(keyExprs.keySet == Set("repo", "path"),
+        s"graft MERGE requires the ON clause to equate BOTH key columns " +
+          s"(repo, path) to source expressions; bound: ${keyExprs.keySet.mkString(", ")}")
+
+      val tgtCols = tgtLr.output.map(_.name)
+      val nonKeyCols = tgtCols.filterNot(c => c == "repo" || c == "path")
+      def starAssigns(cols: Seq[String]): Seq[(String, GraftDml.Unbound)] =
+        cols.map(c => c -> new GraftDml.Unbound(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("__s", c))))
+      def namedAssigns(as: Seq[org.apache.spark.sql.catalyst.plans.logical.Assignment],
+                       allowKeys: Boolean, dropKeys: Boolean = false): Seq[(String, GraftDml.Unbound)] =
+        as.flatMap { a =>
+          val name = a.key match {
+            case ar: AttributeReference => ar.name
+            case other => throw new UnsupportedOperationException(
+              s"MERGE assignment target must be a column, got $other")
+          }
+          val isKey = name == "repo" || name == "path"
+          // star-expanded updates assign every column incl. keys; the ON
+          // clause is the key's authority, so star key assignments drop
+          if (isKey && dropKeys) None
+          else {
+            require(allowKeys || !isKey,
+              "MERGE cannot UPDATE a key column (the ON clause fixes the key)")
+            Some(name -> sides(a.value))
+          }
+        }
+      val matchedSpecs = matchedActions.map {
+        case UpdateAction(c, assigns, fromStar) =>
+          (c.map(sides), Some(namedAssigns(assigns, allowKeys = false, dropKeys = fromStar)))
+        case UpdateStarAction(c) => (c.map(sides), Some(starAssigns(nonKeyCols)))
+        case DeleteAction(c) => (c.map(sides), None)
+        case other => throw new UnsupportedOperationException(s"MERGE action: $other")
+      }
+      val notMatchedSpecs = notMatchedActions.map {
+        case InsertAction(c, assigns) => (c.map(sides), namedAssigns(assigns, allowKeys = true))
+        case InsertStarAction(c) => (c.map(sides), starAssigns(tgtCols))
+        case other => throw new UnsupportedOperationException(s"MERGE action: $other")
+      }
+      GraftMergeCommand(root, source, keyExprs.toSeq.sortBy(_._1), extra,
+        matchedSpecs, notMatchedSpecs)
   }
 }
 
@@ -136,6 +219,20 @@ private[lake] object GraftDml {
       org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
   })
 
+  /** Two-sided unbind for MERGE: target attrs re-resolve under the `__t`
+    * alias, source attrs under `__s`, so the command's run-time join frame
+    * can bind them unambiguously even when both sides share column names.
+    */
+  def unbindSides(e: Expression,
+                  tgt: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+                  src: org.apache.spark.sql.catalyst.expressions.AttributeSet): Unbound =
+    new Unbound(e.transform {
+      case a: AttributeReference if tgt.contains(a) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("__t", a.name))
+      case a: AttributeReference if src.contains(a) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("__s", a.name))
+    })
+
   def asColumn(u: Unbound): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(u.e)
 }
@@ -178,6 +275,81 @@ final case class GraftUpdateCommand(
       assigned.get(c).map(e => GraftDml.asColumn(e).as(c)).getOrElse(col(c))
     }: _*)
     table.append(updated, "adhoc", 0L, recordInLedger = false)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO <graft view> USING <source> ON … WHEN …` — evaluated as one
+  * committed change batch: the source left-joins the table's CURRENT live
+  * state on the key equalities from the ON clause, each source row picks
+  * the FIRST applicable action (SQL MERGE order semantics), and the
+  * surviving rows become insert/delete events at the next LSN through the
+  * full merge path (dedup window, pruning, clustered write, snapshot
+  * commit).
+  *
+  * Semantics notes: updates are whole-row upserts (columns a partial
+  * UPDATE SET leaves unassigned keep the matched target row's value —
+  * materialized into the event, exactly like SQL MERGE); duplicate source
+  * keys collapse to ONE winner by generated event order (the engine's
+  * upsert contract promises one survivor per key, not which); rows with no
+  * applicable action produce no event.
+  */
+final case class GraftMergeCommand(
+    root: String,
+    source: LogicalPlan,
+    keyExprs: Seq[(String, GraftDml.Unbound)],
+    joinExtra: Seq[GraftDml.Unbound],
+    matched: Seq[(Option[GraftDml.Unbound], Option[Seq[(String, GraftDml.Unbound)]])],
+    notMatched: Seq[(Option[GraftDml.Unbound], Seq[(String, GraftDml.Unbound)])])
+  extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    import GraftDml.asColumn
+    val table = new LakeTable(spark, root)
+    val userCols = table.head().schema.fieldNames.toSeq
+    val keyed = keyExprs.toMap
+
+    val tgt = table.read().withColumn("__matched", lit(true)).alias("__t")
+    val src = PlanBridge.ofRows(spark, source).alias("__s")
+    val joinCond = (keyExprs.map { case (k, e) => col(s"__t.$k") === asColumn(e) } ++
+      joinExtra.map(asColumn)).reduce(_ && _)
+    val joined = src.join(tgt, joinCond, "left")
+    val isMatched = coalesce(col("__matched"), lit(false))
+
+    // first-applicable-action chains (an unconditional action ends a chain)
+    def chain[A](specs: Seq[(Option[GraftDml.Unbound], A)],
+                 value: A => Column, fallback: Column): Column =
+      specs.foldRight(fallback) { case ((c, a), els) =>
+        c.map(cc => when(asColumn(cc), value(a)).otherwise(els)).getOrElse(value(a))
+      }
+    val nullStr = lit(null).cast("string")
+    val opCol = when(isMatched,
+        chain[Option[Seq[(String, GraftDml.Unbound)]]](matched,
+          a => if (a.isDefined) lit("insert") else lit("delete"), nullStr))
+      .otherwise(chain[Seq[(String, GraftDml.Unbound)]](notMatched,
+        _ => lit("insert"), nullStr))
+
+    def valueOf(c: String): Column = {
+      val current = col(s"__t.$c")
+      val m = chain[Option[Seq[(String, GraftDml.Unbound)]]](matched, {
+        case Some(assigns) => assigns.toMap.get(c).map(asColumn).getOrElse(
+          if (keyed.contains(c)) asColumn(keyed(c)) else current)
+        case None => // delete: only the key matters
+          if (keyed.contains(c)) asColumn(keyed(c)) else lit(null)
+      }, lit(null))
+      val nm = chain[Seq[(String, GraftDml.Unbound)]](notMatched,
+        assigns => assigns.toMap.get(c).map(asColumn).getOrElse(
+          if (keyed.contains(c)) asColumn(keyed(c)) else lit(null)), lit(null))
+      when(isMatched, m).otherwise(nm).as(c)
+    }
+
+    val changes = joined
+      .withColumn("__op", opCol)
+      .filter(col("__op").isNotNull)
+      .select(userCols.map(valueOf) :+ col("__op"): _*)
+    table.applyChanges(changes, "adhoc", 0L, recordInLedger = false)
     Seq.empty
   }
 }

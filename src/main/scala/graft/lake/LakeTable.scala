@@ -525,14 +525,24 @@ final class LakeTable(spark: SparkSession, val root: String,
     * survivor per key, not which).
     */
   def append(rows: DataFrame, epoch: String, batchId: Long,
-             recordInLedger: Boolean = true): MergeStats = {
+             recordInLedger: Boolean = true): MergeStats =
+    applyChanges(rows.withColumn("__op", lit("insert")), epoch, batchId, recordInLedger)
+
+  /** The general plain-row change surface: `rows` carries the user columns
+    * (keys required, others optional → null) plus `__op` ∈ {insert, delete},
+    * and every row becomes one change event at the table's next LSN through
+    * the full merge path. Backs [[append]], [[delete]], and SQL MERGE INTO.
+    */
+  def applyChanges(rows: DataFrame, epoch: String, batchId: Long,
+                   recordInLedger: Boolean = true): MergeStats = {
     val snap = head()
-    val present = rows.columns.toSet
+    val present = rows.columns.toSet - "__op"
     val unknown = present -- snap.schema.fieldNames
+    require(rows.columns.contains("__op"), "applyChanges requires an __op column")
     require(keyCols.forall(present.contains),
-      s"append requires key columns ${keyCols.mkString(", ")}; got ${rows.columns.mkString(", ")}")
+      s"plain-row writes require key columns ${keyCols.mkString(", ")}; got ${rows.columns.mkString(", ")}")
     require(unknown.isEmpty,
-      s"append with columns absent from the table schema: ${unknown.mkString(", ")} " +
+      s"write with columns absent from the table schema: ${unknown.mkString(", ")} " +
         "(evolve the schema with a schema_change event first)")
     val lsn = math.max(snap.maxLsn, 0L) + 1
     val (evolved, base) = snap.schema.fields.toSeq.partition(f => snap.addedAtLsn.contains(f.name))
@@ -547,7 +557,7 @@ final class LakeTable(spark: SparkSession, val root: String,
     val ev = rows.select(baseCols ++ Seq(
       lit(lsn).as("lsn"),
       monotonically_increasing_id().as("event_id"),
-      lit("insert").as("op"),
+      col("__op").as("op"),
       lit(null).cast(StringType).as("schema_change"),
       extraCol.as("extra")): _*)
     merge(ev, epoch, batchId, recordInLedger = recordInLedger)
@@ -559,21 +569,9 @@ final class LakeTable(spark: SparkSession, val root: String,
     * sees ordinary delete rows.
     */
   def delete(keys: DataFrame, epoch: String, batchId: Long,
-             recordInLedger: Boolean = true): MergeStats = {
-    val snap = head()
-    val lsn = math.max(snap.maxLsn, 0L) + 1
-    val base = snap.schema.fields.toSeq.filterNot(f => snap.addedAtLsn.contains(f.name))
-    val ev = keys.select(
-      Seq(col("repo"), col("path")) ++
-      base.filterNot(f => keyCols.contains(f.name))
-        .map(f => lit(null).cast(f.dataType).as(f.name)) ++
-      Seq(lit(lsn).as("lsn"),
-        monotonically_increasing_id().as("event_id"),
-        lit("delete").as("op"),
-        lit(null).cast(StringType).as("schema_change"),
-        lit(null).cast(StringType).as("extra")): _*)
-    merge(ev, epoch, batchId, recordInLedger = recordInLedger)
-  }
+             recordInLedger: Boolean = true): MergeStats =
+    applyChanges(keys.select(col("repo"), col("path"))
+      .withColumn("__op", lit("delete")), epoch, batchId, recordInLedger)
 
   /** `SaveMode.Overwrite` / `INSERT OVERWRITE`: replace the table's contents
     * with `rows` in one commit (Iceberg REPLACE semantics). The previous

@@ -229,6 +229,60 @@ class GraftSourceSpec extends SparkSuite {
     } finally spark.catalog.dropTempView("gdml")
   }
 
+  test("SQL MERGE INTO: matched update/delete, not-matched insert, first-action-wins") {
+    val root = tmpDir("gmerge")
+    val t = new LakeTable(spark, root)
+    t.create(LakeTable.baseSchema)
+    t.append(Seq(("r1", "a", "scala", "v1"), ("r1", "b", "go", "v2"), ("r2", "c", "py", "v3"))
+      .toDF("repo", "path", "lang", "content"), "seed", 0)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gmerge USING graft OPTIONS (path '$root')")
+    Seq(("r1", "a", "upd", "u1"), ("r1", "b", "del", null), ("r9", "z", "ins", "n1"))
+      .toDF("r", "p", "action", "payload").createOrReplaceTempView("gmerge_src")
+    try {
+      spark.sql("""
+        MERGE INTO gmerge t USING gmerge_src s
+        ON t.repo = s.r AND t.path = s.p
+        WHEN MATCHED AND s.action = 'del' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET content = s.payload
+        WHEN NOT MATCHED AND s.action = 'ins' THEN
+          INSERT (repo, path, content) VALUES (s.r, s.p, s.payload)""")
+      val got = t.read().select("repo", "path", "lang", "content")
+        .as[(String, String, String, String)].collect().toSet
+      assert(got === Set(
+        ("r1", "a", "scala", "u1"), // matched update; unassigned lang KEPT
+        ("r2", "c", "py", "v3"),    // untouched by the merge
+        ("r9", "z", null, "n1")))   // not-matched insert (lang unassigned → null)
+      // the delete left a real tombstone (late duplicates still lose)
+      assert(t.readRaw().filter(col("_deleted"))
+        .select("path").as[String].collect().toSeq === Seq("b"))
+
+      // star forms: UPDATE SET * / INSERT * map source columns by name —
+      // standard MERGE semantics require the source to carry EVERY target
+      // column for a star action (Spark expands the star before our rule)
+      Seq(("r2", "c", "c9", "rust", "v3b"), ("r8", "y", "c9", "js", "v8"))
+        .toDF("repo", "path", "commit", "lang", "content")
+        .createOrReplaceTempView("gmerge_src2")
+      spark.sql("""
+        MERGE INTO gmerge t USING gmerge_src2 s
+        ON t.repo = s.repo AND t.path = s.path
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val after = t.read().filter(col("repo").isin("r2", "r8"))
+        .select("repo", "lang", "content").as[(String, String, String)].collect().toSet
+      assert(after === Set(("r2", "rust", "v3b"), ("r8", "js", "v8")))
+
+      // unsupported shapes fail loudly, not silently
+      val e = intercept[Exception](spark.sql(
+        "MERGE INTO gmerge t USING gmerge_src s ON t.repo = s.r " +
+          "WHEN MATCHED THEN DELETE"))
+      assert(e.getMessage.contains("BOTH key columns"), e.getMessage)
+    } finally {
+      spark.catalog.dropTempView("gmerge")
+      spark.catalog.dropTempView("gmerge_src")
+      spark.catalog.dropTempView("gmerge_src2")
+    }
+  }
+
   test("streaming sink: per-(epoch, batchId) ledger makes a replayed batch a no-op") {
     val root = tmpDir("gsink")
     val sink = new GraftSink(spark, root, "e1")
