@@ -89,8 +89,9 @@ final class LakeTable(spark: SparkSession, val root: String,
   def read(): DataFrame = readAt(head())
 
   /** [[read]] with MANIFEST-LEVEL file pruning driven by the predicate:
-    * conjuncts that provably bound the key columns (`repo`/`path` `=`, `IN`,
-    * range comparisons against string literals — see [[KeyPredicates]]) skip
+    * conjuncts that provably bound any PRUNABLE column — the keys
+    * (`repo`/`path`) plus the configured secondary stat columns — via `=`,
+    * `IN`, range comparisons against string literals ([[KeyPredicates]]) skip
     * every data file whose footer-stat bounding box cannot hold a matching
     * row, BEFORE any Spark job is planned; the full predicate then runs on
     * the pruned scan (and pushes to Parquet row groups as usual), so results
