@@ -50,7 +50,8 @@ final class GraftFileIndex(
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val kept = dataFilters.reduceOption(And) match {
       case Some(pred) =>
-        table.pruneFiles(snapshot, KeyPredicates.extract(pred, table.prunableColumns))
+        val (strCols, longCols) = table.typedPrunable(snapshot)
+        table.pruneFiles(snapshot, KeyPredicates.extractTyped(pred, strCols, longCols))
           .filterNot(_.tomb)
       case None => live
     }

@@ -47,6 +47,35 @@ private[graft] object KeyPredicates {
   }
   val unbounded: Bound = Bound(None, None)
 
+  /** Inclusive [lower, upper] bound over an int64-statted column (long / int /
+    * timestamp-micros); same fail-open overlap contract as [[Bound]].
+    */
+  final case class LongBound(lower: Option[Long], upper: Option[Long]) {
+    def tightenLower(v: Long): LongBound =
+      if (lower.forall(v > _)) copy(lower = Some(v)) else this
+    def tightenUpper(v: Long): LongBound =
+      if (upper.forall(v < _)) copy(upper = Some(v)) else this
+    def overlaps(statMin: Option[Long], statMax: Option[Long]): Boolean = {
+      val lowOk = (lower, statMax) match {
+        case (Some(l), Some(mx)) => l <= mx
+        case _ => true
+      }
+      val highOk = (upper, statMin) match {
+        case (Some(u), Some(mn)) => mn <= u
+        case _ => true
+      }
+      lowOk && highOk
+    }
+  }
+  val unboundedLong: LongBound = LongBound(None, None)
+
+  /** Bounds for string-statted and long-statted prunable columns, extracted
+    * from one predicate ([[extractTyped]]); consumed by
+    * `LakeTable.pruneFiles`.
+    */
+  final case class TypedBounds(strings: Map[String, Bound],
+                               longs: Map[String, LongBound])
+
   private def nameOf(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
     case u: UnresolvedAttribute if u.nameParts.length == 1 => Some(u.nameParts.head)
@@ -59,12 +88,44 @@ private[graft] object KeyPredicates {
     case _ => None
   }
 
+  /** A foldable int64-comparable value: byte/short/int/long literals plus
+    * timestamp literals (micros), INCLUDING the analyzer's coercion casts
+    * (`stars > 5` analyzes to `stars > cast(5 as bigint)` — the cast is only
+    * folded by the optimizer, which never runs on [[LakeTable.readWhere]]'s
+    * planning-time predicate). Anything non-foldable or non-integral → None.
+    */
+  private def longLit(e: Expression): Option[Long] = {
+    import org.apache.spark.sql.types._
+    scala.util.Try {
+      e.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | TimestampType
+          if e.foldable =>
+          e.eval(null) match {
+            case n: java.lang.Number => Some(n.longValue)
+            case _ => None // null literal: no constraint
+          }
+        case _ => None
+      }
+    }.toOption.flatten // unresolved subtree: fail open
+  }
+
   /** Per-column inclusive bounds implied by `pred` for `columns`. Columns
     * with no provable constraint map to [[unbounded]].
     */
-  def extract(pred: Expression, columns: Seq[String]): Map[String, Bound] = {
-    var bounds = columns.map(_ -> unbounded).toMap
+  def extract(pred: Expression, columns: Seq[String]): Map[String, Bound] =
+    extractTyped(pred, columns, Seq.empty).strings
+
+  /** Per-column inclusive bounds implied by `pred`, typed by stat
+    * representation: `stringCols` tighten via string literals under UTF-8
+    * order, `longCols` via integral/timestamp literals under numeric order.
+    * Columns with no provable constraint map to the unbounded range.
+    */
+  def extractTyped(pred: Expression, stringCols: Seq[String],
+                   longCols: Seq[String]): TypedBounds = {
+    var bounds = stringCols.map(_ -> unbounded).toMap
+    var lbounds = longCols.map(_ -> unboundedLong).toMap
     def want(e: Expression): Option[String] = nameOf(e).filter(bounds.contains)
+    def wantL(e: Expression): Option[String] = nameOf(e).filter(lbounds.contains)
     def visit(e: Expression): Unit = e match {
       case And(l, r) => visit(l); visit(r)
       case EqualTo(a, v) if want(a).isDefined && strLit(v).isDefined =>
@@ -73,6 +134,12 @@ private[graft] object KeyPredicates {
       case EqualTo(v, a) if want(a).isDefined && strLit(v).isDefined =>
         val (c, s) = (want(a).get, strLit(v).get)
         bounds += c -> bounds(c).tightenLower(s).tightenUpper(s)
+      case EqualTo(a, v) if wantL(a).isDefined && longLit(v).isDefined =>
+        val (c, n) = (wantL(a).get, longLit(v).get)
+        lbounds += c -> lbounds(c).tightenLower(n).tightenUpper(n)
+      case EqualTo(v, a) if wantL(a).isDefined && longLit(v).isDefined =>
+        val (c, n) = (wantL(a).get, longLit(v).get)
+        lbounds += c -> lbounds(c).tightenLower(n).tightenUpper(n)
       case In(a, vs) if want(a).isDefined && vs.nonEmpty && vs.forall(strLit(_).isDefined) =>
         import LakeTable.{utf8Compare => cmp}
         val c = want(a).get
@@ -80,6 +147,10 @@ private[graft] object KeyPredicates {
         bounds += c -> bounds(c)
           .tightenLower(lits.reduce((x, y) => if (cmp(x, y) <= 0) x else y))
           .tightenUpper(lits.reduce((x, y) => if (cmp(x, y) >= 0) x else y))
+      case In(a, vs) if wantL(a).isDefined && vs.nonEmpty && vs.forall(longLit(_).isDefined) =>
+        val c = wantL(a).get
+        val lits = vs.map(longLit(_).get)
+        lbounds += c -> lbounds(c).tightenLower(lits.min).tightenUpper(lits.max)
       case GreaterThan(a, v) => lowerish(a, v); upperish(v, a)
       case GreaterThanOrEqual(a, v) => lowerish(a, v); upperish(v, a)
       case LessThan(a, v) => upperish(a, v); lowerish(v, a)
@@ -87,12 +158,16 @@ private[graft] object KeyPredicates {
       case _ => () // unknown shape: no constraint (fail open)
     }
     // a > lit / lit < a ⇒ lower bound on a;  a < lit / lit > a ⇒ upper bound
-    def lowerish(a: Expression, v: Expression): Unit =
+    def lowerish(a: Expression, v: Expression): Unit = {
       for (c <- want(a); s <- strLit(v)) bounds += c -> bounds(c).tightenLower(s)
-    def upperish(a: Expression, v: Expression): Unit =
+      for (c <- wantL(a); n <- longLit(v)) lbounds += c -> lbounds(c).tightenLower(n)
+    }
+    def upperish(a: Expression, v: Expression): Unit = {
       for (c <- want(a); s <- strLit(v)) bounds += c -> bounds(c).tightenUpper(s)
+      for (c <- wantL(a); n <- longLit(v)) lbounds += c -> lbounds(c).tightenUpper(n)
+    }
     visit(pred)
-    bounds
+    TypedBounds(bounds, lbounds)
   }
 
   /** Same extraction over data-source `Filter`s (the pre-translated predicate

@@ -114,7 +114,8 @@ final class LakeTable(spark: SparkSession, val root: String,
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(true))
     }
-    val bounds = KeyPredicates.extract(cond, prunableColumns)
+    val (strCols, longCols) = typedPrunable(snap)
+    val bounds = KeyPredicates.extractTyped(cond, strCols, longCols)
     readAt(snap, pruneFiles(snap, bounds)).filter(predicate)
   }
 
@@ -125,20 +126,53 @@ final class LakeTable(spark: SparkSession, val root: String,
     */
   private[lake] def prunableColumns: Seq[String] = keyCols ++ statColumns
 
+  /** Prunable columns under `snap`, split by stat representation: string
+    * columns prune via UTF-8 string bounds, long / int / timestamp columns
+    * via int64 bounds ([[DataFileEntry.longStats]]). Derived from what the
+    * MANIFESTS actually carry (union of statted columns across files), not
+    * from this instance's writer-side `statColumns` — so a reader opened
+    * with different stat configuration (e.g. the `format("graft")` relation,
+    * which always opens with defaults) still prunes on every statted column.
+    * The snapshot-schema type cross-check drops any column whose current
+    * Catalyst type no longer matches its stat representation (fail open).
+    * Columns of other types (float/double/boolean — NaN ordering and
+    * near-zero selectivity make stats useless) are never statted.
+    */
+  private[lake] def typedPrunable(snap: Snapshot): (Seq[String], Seq[String]) = {
+    val byName = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val statted = snap.files.iterator.flatMap(_.stats.keysIterator).toSet
+    val lstatted = snap.files.iterator.flatMap(_.longStats.keysIterator).toSet
+    val strings = (keyCols ++ (statted -- keyCols).toSeq.sorted)
+      .filter(c => byName.get(c).contains(StringType))
+    val longs = lstatted.toSeq.sorted.filter(c => byName.get(c) match {
+      case Some(LongType) | Some(IntegerType) | Some(TimestampType) => true
+      case _ => false
+    })
+    (strings, longs)
+  }
+
   /** Files of `snap` that can hold a row inside `bounds` (manifest-level
     * pruning; shared by [[readWhere]] and the `format("graft")` relation).
     * A column missing from a file's stats contributes no constraint for
     * that file (fail open — e.g. manifests written before the column was
-    * statted, or a non-string column).
+    * statted, or before the column existed at all).
     */
   private[lake] def pruneFiles(
-      snap: Snapshot, bounds: Map[String, KeyPredicates.Bound]): Seq[DataFileEntry] =
+      snap: Snapshot, bounds: KeyPredicates.TypedBounds): Seq[DataFileEntry] =
     snap.files.filter { f =>
-      bounds.forall { case (c, b) =>
+      bounds.strings.forall { case (c, b) =>
         val (mn, mx) = f.boundsOf(c)
+        b.overlaps(mn, mx)
+      } && bounds.longs.forall { case (c, b) =>
+        val (mn, mx) = f.longBoundsOf(c)
         b.overlaps(mn, mx)
       }
     }
+
+  /** String-bounds-only overload (pre-typed-stats callers). */
+  private[lake] def pruneFiles(
+      snap: Snapshot, bounds: Map[String, KeyPredicates.Bound]): Seq[DataFileEntry] =
+    pruneFiles(snap, KeyPredicates.TypedBounds(bounds, Map.empty))
 
   /** Live rows of selected files — the `format("graft")` relation's scan. */
   private[lake] def scanLive(snap: Snapshot, entries: Seq[DataFileEntry]): DataFrame =
@@ -791,6 +825,57 @@ object LakeTable {
       if (isAscii(maxB)) Some(new String(maxB, "UTF-8")) else None)
   }
 
+  /** Is this physical column's stat order the int64 order Catalyst literals
+    * compare in? INT64/INT32 with no annotation or a SIGNED int annotation
+    * (covers long, int, and int-widened-to-long files — INT32 stats widen
+    * losslessly), and TIMESTAMP only in MICROS (Catalyst timestamp literals
+    * are micros; a TIMESTAMP_MILLIS stat would compare a different unit and
+    * prune WRONGLY — skip it, fail open). INT96 timestamps, unsigned ints,
+    * decimals, dates: no int64-comparable stats.
+    */
+  private def int64Comparable(t: org.apache.parquet.schema.PrimitiveType): Boolean = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val p = t.getPrimitiveTypeName
+    (p == INT64 || p == INT32) && (t.getLogicalTypeAnnotation match {
+      case null => true
+      case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+      case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+      case _ => false
+    })
+  }
+
+  /** Min/max of an int64-comparable column (INT64 or INT32 physical) across
+    * a footer's blocks. Any block with missing stats or no non-null value →
+    * (None, None), mirroring [[columnBounds]]' fail-open contract. Min/max
+    * cover only NON-null values, which is sound for pruning because every
+    * bound shape [[KeyPredicates]] extracts is null-rejecting (`null > 5` is
+    * null → row filtered anyway), so a file whose non-null range misses the
+    * bound cannot contribute a matching row through its nulls either.
+    */
+  private def longColumnBounds(
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      column: String): (Option[Long], Option[Long]) = {
+    import scala.jdk.CollectionConverters._
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var seen = false
+    var unbounded = false
+    for (b <- blocks; c <- b.getColumns.asScala if c.getPath.toDotString == column) {
+      val st = c.getStatistics
+      if (st == null || !st.hasNonNullValue) unbounded = true
+      else (st.genericGetMin, st.genericGetMax) match {
+        case (lo: java.lang.Number, hi: java.lang.Number) =>
+          mn = math.min(mn, lo.longValue)
+          mx = math.max(mx, hi.longValue)
+          seen = true
+        case _ => unbounded = true // non-numeric stats object: fail open
+      }
+    }
+    if (unbounded || !seen) (None, None) else (Some(mn), Some(mx))
+  }
+
   private def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     val n = math.min(a.length, b.length)
@@ -821,21 +906,30 @@ object LakeTable {
         // an over-long max becomes no-bound (a truncated prefix would sort
         // BELOW the real max and wrongly exclude files). Columns absent from
         // the file or non-binary record no stats (fail open downstream).
-        val stringCols = reader.getFooter.getFileMetaData.getSchema.getColumns.asScala
-          .filter(_.getPrimitiveType.getPrimitiveTypeName ==
-            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY)
-          .map(_.getPath.mkString(".")).toSet
-        val secondary = statColumns.filter(stringCols.contains).flatMap { c =>
-          columnBounds(blocks, c) match {
-            case (None, None) => None
-            case (mn, mx) => Some(c -> ((
-              mn.map(_.take(statValueCap)),
-              mx.filter(_.length <= statValueCap))))
-          }
-        }.toMap
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        val physByCol = reader.getFooter.getFileMetaData.getSchema.getColumns.asScala
+          .map(c => c.getPath.mkString(".") -> c.getPrimitiveType)
+          .toMap
+        val secondary = statColumns
+          .filter(c => physByCol.get(c).exists(_.getPrimitiveTypeName == BINARY))
+          .flatMap { c =>
+            columnBounds(blocks, c) match {
+              case (None, None) => None
+              case (mn, mx) => Some(c -> ((
+                mn.map(_.take(statValueCap)),
+                mx.filter(_.length <= statValueCap))))
+            }
+          }.toMap
+        val secondaryLong = statColumns
+          .filter(c => physByCol.get(c).exists(int64Comparable)).flatMap { c =>
+            longColumnBounds(blocks, c) match {
+              case (None, None) => None
+              case b => Some(c -> b)
+            }
+          }.toMap
         Some(DataFileEntry(path, rows, minR, maxR, minP, maxP,
           longColumnMax(blocks, "_ver"), tomb = tomb, bytes = bytes,
-          stats = secondary))
+          stats = secondary, longStats = secondaryLong))
       }
     } finally reader.close()
   }

@@ -82,7 +82,8 @@ final case class DataFileEntry(
     maxVer: Option[Long] = None,
     tomb: Boolean = false,
     bytes: Long = 0L,
-    stats: Map[String, (Option[String], Option[String])] = Map.empty) {
+    stats: Map[String, (Option[String], Option[String])] = Map.empty,
+    longStats: Map[String, (Option[Long], Option[Long])] = Map.empty) {
   /** Min/max bound of `column`, unified over the key columns' dedicated
     * fields and the secondary stats map; (None, None) = unknown (fail open).
     */
@@ -91,6 +92,12 @@ final case class DataFileEntry(
     case "path" => (minPath, maxPath)
     case c => stats.getOrElse(c, (None, None))
   }
+
+  /** Min/max of an int64-statted column (long / int / timestamp-micros
+    * secondary stat columns); (None, None) = unknown (fail open).
+    */
+  def longBoundsOf(column: String): (Option[Long], Option[Long]) =
+    longStats.getOrElse(column, (None, None))
 }
 
 /** A racing writer already published this version. Callers retry against the
@@ -344,6 +351,8 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     ("minPath" -> f.minPath) ~ ("maxPath" -> f.maxPath) ~
     ("maxVer" -> f.maxVer) ~ ("tomb" -> f.tomb) ~ ("bytes" -> f.bytes) ~
     ("stats" -> f.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      ("col" -> c) ~ ("min" -> mn) ~ ("max" -> mx) }) ~
+    ("longStats" -> f.longStats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
       ("col" -> c) ~ ("min" -> mn) ~ ("max" -> mx) })
 
   private def parseEntry(f: JValue): DataFileEntry = {
@@ -374,6 +383,17 @@ final class SnapshotLog(spark: SparkSession, root: String) {
           (s \ "col").extract[String] -> ((side("min"), side("max")))
         }.toMap
         case _ => Map.empty
+      },
+      longStats = (f \ "longStats") match {
+        case JArray(ss) => ss.map { s =>
+          def side(n: String): Option[Long] = (s \ n) match {
+            case JInt(v) => Some(v.toLong)
+            case JLong(v) => Some(v)
+            case _ => None
+          }
+          (s \ "col").extract[String] -> ((side("min"), side("max")))
+        }.toMap
+        case _ => Map.empty // pre-longStats manifests: unknown, fail open
       })
   }
 

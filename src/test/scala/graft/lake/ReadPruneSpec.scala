@@ -131,6 +131,87 @@ class ReadPruneSpec extends SparkSuite {
     assert(q.count() === 40)
   }
 
+  test("long-column stats: numeric predicates on an evolved long column prune files") {
+    val t = new LakeTable(spark, tmpDir("prune-stars"),
+      statColumns = Seq("lang", "commit", "stars"))
+    t.create(LakeTable.baseSchema)
+    def evS(lsn: Long, repo: String, stars: Long): Row =
+      Row(lsn, 0L, new java.sql.Timestamp(1700000000000L + lsn * 1000), "insert",
+        repo, "p", s"c$lsn", "scala", s"v$lsn", null, s"""{"stars": $stars}""")
+    val ddl: Row =
+      Row(1L, 0L, new java.sql.Timestamp(1700000000000L), "schema_change",
+        null, null, null, null, null,
+        """{"addColumn":{"name":"stars","type":"long"}}""", null)
+    // disjoint star ranges per merge → per-file long stats are tight
+    t.merge(batch(ddl +: (0 until 40).map(i => evS(10 + i, f"a$i%02d", i.toLong))), "e", 0)
+    t.merge(batch((0 until 40).map(i => evS(100 + i, f"m$i%02d", 1000L + i))), "e", 1)
+    t.merge(batch((0 until 40).map(i => evS(200 + i, f"z$i%02d", 2000L + i))), "e", 2)
+    val total = t.head().files.size
+    assert(total >= 3, s"expected one file set per merge, got $total")
+    assert(t.head().files.forall(_.longStats.contains("stars")),
+      "manifests must carry int64 stars bounds")
+
+    val pred = col("stars") >= 2000L
+    val pruned = t.readWhere(pred)
+    assert(pruned.count() === 40)
+    val n = scannedFiles(pruned)
+    assert(n < total, s"stars predicate should prune files ($n of $total scanned)")
+    assert(pruned.collect().toSet === t.read().filter(pred).collect().toSet)
+
+    // int-literal comparand (analyzer inserts a coercion cast) still prunes
+    assert(scannedFiles(t.readWhere(col("stars") < 100)) < total)
+    // IN-list and equality bounds
+    assert(t.readWhere(col("stars").isin(1000L, 1003L)).count() === 2)
+    assert(scannedFiles(t.readWhere(col("stars") === 1234567L)) < total)
+    // contradictory numeric bounds: zero files
+    assert(scannedFiles(t.readWhere(col("stars") > 5000L)) === 0)
+
+    // the same pruning reaches the format("graft") native scan's planned files
+    val q = spark.read.format("graft").option("path", t.root).load()
+      .filter(col("stars") >= 2000)
+    val planned = q.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(Nil, f.dataFilters).map(_.files.size).sum
+    }.sum
+    assert(planned < total, s"native scan planned $planned of $total files")
+    assert(q.count() === 40)
+
+    // manifest JSON round-trip preserves the long bounds (fresh log instance)
+    val t2 = new LakeTable(spark, t.root, statColumns = Seq("lang", "commit", "stars"))
+    assert(t2.head().files.forall(_.longStats.contains("stars")))
+    assert(t2.readWhere(col("stars") >= 2000L).count() === 40)
+  }
+
+  test("int-widened-to-long column: INT32-era files still prune under long predicates") {
+    val t = new LakeTable(spark, tmpDir("prune-widen"),
+      statColumns = Seq("lang", "commit", "stars"))
+    t.create(LakeTable.baseSchema)
+    def evS(lsn: Long, repo: String, stars: Long): Row =
+      Row(lsn, 0L, new java.sql.Timestamp(1700000000000L + lsn * 1000), "insert",
+        repo, "p", s"c$lsn", "scala", s"v$lsn", null, s"""{"stars": $stars}""")
+    def ddl(lsn: Long, sc: String): Row =
+      Row(lsn, 0L, new java.sql.Timestamp(1700000000000L + lsn * 1000),
+        "schema_change", null, null, null, null, null, sc, null)
+    // era 1: stars is INT (files store INT32 physical)
+    t.merge(batch(ddl(1, """{"addColumn":{"name":"stars","type":"int"}}""") +:
+      (0 until 30).map(i => evS(10 + i, f"a$i%02d", i.toLong))), "e", 0)
+    // era 2: widen to LONG, values beyond int range
+    t.merge(batch(ddl(100, """{"widenColumn":{"name":"stars","type":"long"}}""") +:
+      (0 until 30).map(i => evS(110 + i, f"z$i%02d", 10000000000L + i))), "e", 1)
+    val total = t.head().files.size
+    assert(total >= 2)
+    assert(t.head().files.forall(_.longStats.contains("stars")),
+      "INT32-era and INT64-era files must both carry int64 stars bounds")
+    val pred = col("stars") >= 10000000000L
+    assert(t.readWhere(pred).count() === 30)
+    assert(scannedFiles(t.readWhere(pred)) < total,
+      "long predicate should skip the INT32-era files")
+    assert(t.readWhere(pred).collect().toSet === t.read().filter(pred).collect().toSet)
+    val lowPred = col("stars") < 30
+    assert(t.readWhere(lowPred).count() === 30)
+    assert(scannedFiles(t.readWhere(lowPred)) < total)
+  }
+
   test("contradictory bounds read zero files and return nothing") {
     val t = compactedTable()
     val pred = col("repo") === "r01" && col("repo") === "r19"
