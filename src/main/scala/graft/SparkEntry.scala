@@ -37,6 +37,7 @@ object SparkEntry {
     "q_change_feed"        -> Queries.changeFeed _,
     "q_change_feed_stream" -> Queries.changeFeedStream _,
     "q_change_rates"       -> Queries.changeRatesQ _,
+    "q_stream_dedup"       -> Queries.streamDedupQ _,
     // --- Borderlands domain parity (SURVEY §2.2 P*, §2.3 J1/J2, §2.7 U2,
     // §2.8 F17/F19) ---
     "q_status_extract"     -> Queries.statusExtract _,
@@ -292,6 +293,17 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY repo, path ORDER BY event_id DESC) AS rn
         |  FROM mapped)
         |WHERE rn = 1""".stripMargin,
+    // first arrival in a segment-ordered stream = least lsn per key, so the
+    // stateful streaming dedup collapses to a batch arg_min
+    "q_stream_dedup" ->
+      """WITH mapped AS (
+        |  SELECT sha256(props) AS content_sha, event_id,
+        |    'r' || CAST(user_id % 25 AS VARCHAR) AS repo,
+        |    'p' || CAST(user_id AS VARCHAR) AS path
+        |  FROM events)
+        |SELECT content_sha, min(event_id) AS first_lsn,
+        |  arg_min(repo, event_id) AS repo, arg_min(path, event_id) AS path
+        |FROM mapped GROUP BY content_sha""".stripMargin,
     "q_change_rates" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
         |  'r' || CAST(user_id % 25 AS VARCHAR) AS repo,
@@ -826,6 +838,37 @@ object Queries {
       .partitionBy("repo", "path").orderBy(col("last_lsn").desc)
     delivered.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Streaming exact dedup of a document stream as a REAL multi-batch
+    * stream: the sf events map to (content_sha, lsn, repo, path), staged as
+    * an LSN-ordered WAL directory (EventLog.writeOrdered), drained by a file
+    * stream 2 segments per trigger through
+    * [[graft.stream.StreamDedup.firstSeen]] — cross-batch stateful
+    * suppression emits each distinct content's first arrival exactly once.
+    * Segment order makes first-arrival = least-lsn, so the whole streaming
+    * run is oracle-checkable by a batch `arg_min` per content hash.
+    */
+  def streamDedupQ(s: SparkSession, d: String): DataFrame = {
+    val work = scratchDir("streamdedup", d)
+    val mapped = events(s, d).select(
+      sha2(col("props"), 256).as("content_sha"),
+      col("event_id").as("lsn"),
+      concat(lit("r"), (col("user_id") % 25).cast("string")).as("repo"),
+      concat(lit("p"), col("user_id").cast("string")).as("path"))
+    graft.events.EventLog.writeOrdered(s, mapped, s"$work/wal", numFiles = 12)
+    val stream = s.readStream.schema(mapped.schema)
+      .option("maxFilesPerTrigger", 2).parquet(s"$work/wal")
+    val deduped = graft.stream.StreamDedup.firstSeen(stream, "content_sha", "lsn")
+    val sink = s"graft_stream_dedup_sink_${java.lang.Integer.toHexString(work.hashCode)}"
+    val q = deduped.writeStream.format("memory").queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/cp")
+      .start()
+    q.awaitTermination()
+    val out = s.table(sink).localCheckpoint() // detach from the view
+    s.catalog.dropTempView(sink)
+    out.withColumnRenamed("lsn", "first_lsn")
   }
 
   /** F5: sha256 row keying (reference oryx.py:253-267) via built-in sha2 —

@@ -141,10 +141,39 @@ object EventLog {
     // Duplicate deliveries (event_id=1) land one segment LATER than their
     // original — the hard exactly-once case: a stale duplicate arriving after
     // newer events (possibly after a delete) must not resurrect anything.
-    df.withColumn("__seg",
-        least(floor(col("lsn") / width) + col("event_id"), lit((numFiles - 1).toLong)).cast("int"))
+    stageSegments(spark,
+      df.withColumn("__seg",
+        least(floor(col("lsn") / width) + col("event_id"), lit((numFiles - 1).toLong)).cast("int")),
+      dir, Seq("lsn", "event_id"))
+  }
+
+  /** Stage ANY frame as an order-ranged WAL segment directory: file i holds
+    * the i-th range of `orderCol`, modtimes strictly increase with i, so a
+    * file stream over `dir` replays the frame in `orderCol` order across
+    * micro-batches — the deterministic-arrival-order substrate operators
+    * like [[graft.stream.StreamDedup.firstSeen]] build on (first ARRIVAL =
+    * globally-least `orderCol`, making a streaming result oracle-checkable
+    * by a batch `arg_min`). One 2-value aggregate sizes the ranges; the
+    * staging write itself is fully distributed.
+    */
+  def writeOrdered(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+                   dir: String, numFiles: Int, orderCol: String = "lsn"): Unit = {
+    val r = df.agg(min(col(orderCol)), max(col(orderCol))).head()
+    if (r.isNullAt(0)) return // empty frame: nothing to stage
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val width = math.max(1L, (mx - mn + numFiles) / numFiles)
+    stageSegments(spark,
+      df.withColumn("__seg",
+        least(floor((col(orderCol) - mn) / width), lit((numFiles - 1).toLong)).cast("int")),
+      dir, Seq(orderCol))
+  }
+
+  private def stageSegments(spark: SparkSession,
+                            dfWithSeg: org.apache.spark.sql.DataFrame,
+                            dir: String, sortCols: Seq[String]): Unit = {
+    dfWithSeg
       .repartition(col("__seg"))
-      .sortWithinPartitions("lsn", "event_id")
+      .sortWithinPartitions(sortCols.map(col): _*)
       .write.partitionBy("__seg").mode("overwrite").parquet(dir + "/__staging")
     // flatten: move each segment dir's files to seg-NNNN.parquet files
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
