@@ -61,6 +61,7 @@ object SparkEntry {
     "q_ivf_topk"           -> Queries.ivfTopK _,
     "q_ivf_probe_topk"     -> Queries.ivfProbeTopK _,
     "q_lake_write_read"    -> Queries.lakeWriteRead _,
+    "q_sql_dml"            -> Queries.sqlDml _,
     // --- text analysis ---
     "q_token_count"        -> Queries.tokenCountQ _,
     "q_quality_score"      -> Queries.qualityScoreQ _,
@@ -349,6 +350,27 @@ object SparkEntry {
     // write → commit → native read must be lossless; the oracle is the
     // source table itself
     "q_lake_write_read" -> "SELECT doc_id, lang, text FROM documents",
+    // SQL DML end-to-end: the oracle replays DELETE → UPDATE → MERGE INTO as
+    // pure relational algebra over the source table. `IS DISTINCT FROM`
+    // mirrors DELETE's "predicate TRUE deletes" (a NULL lang would survive);
+    // deleted-then-merged keys re-enter via NOT MATCHED INSERT with only the
+    // inserted columns set (lang/source NULL).
+    "q_sql_dml" ->
+      """WITH live AS (
+        |  SELECT doc_id, lang, source, text FROM documents
+        |  WHERE lang IS DISTINCT FROM 'de'),
+        |upd AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN lang = 'en' THEN source || '-upd' ELSE source END AS source,
+        |    text
+        |  FROM live),
+        |src AS (
+        |  SELECT doc_id, 'merged-' || CAST(doc_id AS VARCHAR) AS payload
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT coalesce(u.doc_id, s.doc_id) AS doc_id,
+        |  u.lang AS lang, u.source AS source,
+        |  CASE WHEN s.doc_id IS NOT NULL THEN s.payload ELSE u.text END AS text
+        |FROM upd u FULL JOIN src s ON u.doc_id = s.doc_id""".stripMargin,
   )
 }
 
@@ -1083,6 +1105,42 @@ object Queries {
     s.read.format("graft").option("path", root).load()
       .select(col("path").cast("long").as("doc_id"), col("lang"),
         col("content").as("text"))
+  }
+
+  /** The full SQL DML surface end-to-end against one graft table: seed via
+    * `df.write.format("graft")`, then `DELETE FROM` (tombstones), `UPDATE`
+    * (read-project-upsert), and `MERGE INTO` (matched update + not-matched
+    * insert through [[graft.lake.GraftSparkExtension]]'s commands), then a
+    * fresh native read of the final state. The DuckDB oracle replays the
+    * same three statements as pure relational algebra over `documents` —
+    * any divergence in tombstone visibility, upsert precedence, or merge
+    * action routing breaks the hash.
+    */
+  def sqlDml(s: SparkSession, d: String): DataFrame = {
+    val root = scratchDir("sqldml", d)
+    documents(s, d).select(
+        lit("docs").as("repo"),
+        col("doc_id").cast("string").as("path"),
+        col("lang"), col("source"),
+        col("text").as("content"))
+      .write.format("graft").mode("overwrite").option("path", root).save()
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW q_sqldml_v USING graft OPTIONS (path '$root')")
+    s.sql("DELETE FROM q_sqldml_v WHERE lang = 'de'")
+    s.sql("UPDATE q_sqldml_v SET source = concat(source, '-upd') WHERE lang = 'en'")
+    documents(s, d).filter(col("doc_id") % 7 === 0)
+      .select(lit("docs").as("r"), col("doc_id").cast("string").as("p"),
+        concat(lit("merged-"), col("doc_id").cast("string")).as("payload"))
+      .createOrReplaceTempView("q_sqldml_src")
+    s.sql("""
+      MERGE INTO q_sqldml_v t USING q_sqldml_src s
+      ON t.repo = s.r AND t.path = s.p
+      WHEN MATCHED THEN UPDATE SET content = s.payload
+      WHEN NOT MATCHED THEN INSERT (repo, path, content) VALUES (s.r, s.p, s.payload)""")
+    s.catalog.dropTempView("q_sqldml_v")
+    s.catalog.dropTempView("q_sqldml_src")
+    s.read.format("graft").option("path", root).load()
+      .select(col("path").cast("long").as("doc_id"), col("lang"),
+        col("source"), col("content").as("text"))
   }
 
   /** Train-once/probe-many IVF: build the bucketed index artifact, then
