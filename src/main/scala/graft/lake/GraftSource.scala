@@ -62,17 +62,31 @@ final class GraftSourceProvider extends RelationProvider
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val table = new LakeTable(spark, rootOf(parameters))
-    // snapshot resolved once per relation instance: one query plans against
-    // one immutable snapshot even if writers commit concurrently
-    val snap = parameters.get("versionAsOf").map(_.toLong)
-      .map(table.log.read).getOrElse(table.head())
-    HadoopFsRelation(
-      location = new GraftFileIndex(spark, table, snap),
-      partitionSchema = StructType(Nil),
-      dataSchema = snap.schema,
-      bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
-      options = Map.empty)(spark)
+    parameters.get("startingVersion") match {
+      case Some(from) =>
+        // batch change feed: net row changes in (startingVersion,
+        // endingVersion] — the SQL-surface twin of LakeTable.changesBetween
+        // (e.g. `CREATE TEMP VIEW d USING graft OPTIONS (path …,
+        // startingVersion '3')` drives pure-SQL incremental ETL)
+        require(!parameters.contains("versionAsOf"),
+          "versionAsOf and startingVersion are mutually exclusive " +
+            "(time travel reads a snapshot; startingVersion reads a change feed)")
+        val to = parameters.get("endingVersion").map(_.toLong)
+          .getOrElse(table.log.latestVersion().getOrElse(0L))
+        new GraftChangesRelation(sqlContext, table, from.toLong, to)
+      case None =>
+        // snapshot resolved once per relation instance: one query plans
+        // against one immutable snapshot even if writers commit concurrently
+        val snap = parameters.get("versionAsOf").map(_.toLong)
+          .map(table.log.read).getOrElse(table.head())
+        HadoopFsRelation(
+          location = new GraftFileIndex(spark, table, snap),
+          partitionSchema = StructType(Nil),
+          dataSchema = snap.schema,
+          bucketSpec = None,
+          fileFormat = new ParquetFileFormat,
+          options = Map.empty)(spark)
+    }
   }
 
   /** `df.write.format("graft")` — batch writes through the committing path. */
@@ -126,6 +140,33 @@ final class GraftSourceProvider extends RelationProvider
         "Complete would require a full-table overwrite per batch")
     new GraftSink(sqlContext.sparkSession, rootOf(parameters),
       parameters.getOrElse("epoch", "graft-sink"))
+  }
+}
+
+/** Batch change-feed relation: `option("startingVersion", v)` [+
+  * `endingVersion`] surfaces [[LakeTable.changesBetween]] through
+  * `spark.read.format("graft")` / SQL `USING graft OPTIONS (…)`. The feed's
+  * semantics need a residual `_ver` filter a bare file-scan relation cannot
+  * carry, so this relation materializes through the DataFrame plan instead
+  * of a `HadoopFsRelation`; the row-conversion it pays is bounded by the
+  * DELTA between the two snapshots (manifest-diff + maxVer pruning keep the
+  * underlying scan incremental), not by table size. Column pruning is
+  * honored ([[PrunedScan]]); row filters stay Spark-side (exact, fail-safe).
+  */
+final class GraftChangesRelation(
+    override val sqlContext: SQLContext, table: LakeTable,
+    fromVersion: Long, toVersion: Long)
+  extends BaseRelation with PrunedScan {
+
+  private def feed: DataFrame = table.changesBetween(fromVersion, toVersion)
+
+  override val schema: StructType = feed.schema
+
+  override def buildScan(requiredColumns: Array[String]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val f = feed
+    // empty projection (e.g. COUNT(*)) still needs the row cardinality
+    if (requiredColumns.isEmpty) f.select().rdd.map(_ => org.apache.spark.sql.Row())
+    else f.select(requiredColumns.toSeq.map(f.col): _*).rdd
   }
 }
 

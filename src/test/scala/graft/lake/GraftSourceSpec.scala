@@ -283,6 +283,44 @@ class GraftSourceSpec extends SparkSuite {
     }
   }
 
+  test("startingVersion options read the batch change feed through format(graft)") {
+    val t = new LakeTable(spark, tmpDir("gchanges"))
+    t.create(LakeTable.baseSchema)
+    def b(rows: Row*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), EventLog.eventSchema)
+    t.merge(b(ev(1, "insert", "r1", "a", "v1"), ev(2, "insert", "r1", "b", "v2")), "e", 0)
+    val v1 = t.head().version
+    t.merge(b(ev(10, "update", "r1", "a", "v1b"), ev(11, "insert", "r2", "c", "v3"),
+      ev(12, "delete", "r1", "b", null)), "e", 1)
+    val v2 = t.head().version
+
+    def feed(opts: (String, String)*): DataFrame = opts.foldLeft(
+      spark.read.format("graft").option("path", t.root))((r, kv) => r.option(kv._1, kv._2)).load()
+
+    // (v1, head]: the three net changes, identical to the API surface
+    val d = feed("startingVersion" -> v1.toString)
+    assert(d.collect().toSet === t.changesBetween(v1, v2).collect().toSet)
+    assert(d.count() === 3)
+    assert(d.filter(col("_deleted")).select("path").as[String].collect().toSeq === Seq("b"))
+    // column pruning + row filters stay exact on the wrapped plan
+    assert(d.select("path").as[String].collect().toSet === Set("a", "b", "c"))
+    assert(d.filter(col("path") === "a").select("content").as[String].head() === "v1b")
+    // explicit endingVersion bounds the feed; (0, v1] sees only the seed batch
+    assert(feed("startingVersion" -> "0", "endingVersion" -> v1.toString)
+      .select("path").as[String].collect().toSet === Set("a", "b"))
+
+    // SQL view: pure-SQL incremental ETL over the feed
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gchg USING graft OPTIONS " +
+      s"(path '${t.root}', startingVersion '$v1')")
+    try assert(spark.sql("SELECT count(*) FROM gchg WHERE NOT _deleted").as[Long].head() === 2)
+    finally spark.catalog.dropTempView("gchg")
+
+    // time travel and change feed are different reads: combining must fail loudly
+    val e = intercept[Exception](
+      feed("startingVersion" -> "0", "versionAsOf" -> v1.toString).collect())
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+  }
+
   test("streaming sink: per-(epoch, batchId) ledger makes a replayed batch a no-op") {
     val root = tmpDir("gsink")
     val sink = new GraftSink(spark, root, "e1")
