@@ -920,13 +920,29 @@ object LakeTable {
                 mx.filter(_.length <= statValueCap))))
             }
           }.toMap
-        val secondaryLong = statColumns
-          .filter(c => physByCol.get(c).exists(int64Comparable)).flatMap { c =>
-            longColumnBounds(blocks, c) match {
-              case (None, None) => None
-              case b => Some(c -> b)
-            }
-          }.toMap
+        // int64-family columns (long / int / timestamp-micros) are statted
+        // AUTOMATICALLY, not just when configured: the bounds are a fixed
+        // 16 bytes per column per file, so every numeric leaf a user might
+        // predicate on prunes with zero configuration — including columns
+        // that only entered the schema via log-driven evolution, which no
+        // writer-side statColumns list could anticipate. Top-level leafs
+        // only (KeyPredicates can't bound nested paths), engine columns
+        // excluded (`_ver` has its own manifest slot; `_lsn` bounds serve
+        // no read predicate), capped deterministically (configured columns
+        // first, then alphabetical) to keep manifests bounded on very wide
+        // tables.
+        val longEligible = physByCol.iterator.collect {
+          case (name, t) if int64Comparable(t) && !name.contains(".") &&
+            !name.startsWith("_") => name
+        }.toSeq
+        val longCols = (statColumns.filter(longEligible.contains) ++
+          longEligible.sorted).distinct.take(maxLongStatColumns)
+        val secondaryLong = longCols.flatMap { c =>
+          longColumnBounds(blocks, c) match {
+            case (None, None) => None
+            case b => Some(c -> b)
+          }
+        }.toMap
         Some(DataFileEntry(path, rows, minR, maxR, minP, maxP,
           longColumnMax(blocks, "_ver"), tomb = tomb, bytes = bytes,
           stats = secondary, longStats = secondaryLong))
@@ -939,6 +955,12 @@ object LakeTable {
     * long-string column.
     */
   private val statValueCap = 256
+
+  /** Bound on auto-statted int64 columns per file (see [[statsOfFile]]):
+    * 24 × 16 bytes keeps the manifest entry small even for wide tables
+    * while covering every numeric column a real predicate would touch.
+    */
+  private val maxLongStatColumns = 24
 
   /** Max of an int64 column across a footer's blocks; None when any block
     * lacks the stat, lacks the column (pre-`_ver` files), or holds ANY null

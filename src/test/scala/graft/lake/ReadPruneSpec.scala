@@ -182,6 +182,31 @@ class ReadPruneSpec extends SparkSuite {
     assert(t2.readWhere(col("stars") >= 2000L).count() === 40)
   }
 
+  test("zero-config: evolved long column prunes without any statColumns entry") {
+    // same shape as above, but the table is opened with DEFAULT statColumns
+    // (which know nothing of `stars`) — int64 leafs are auto-statted at
+    // write time, so the evolved column prunes with no configuration at all
+    val t = new LakeTable(spark, tmpDir("prune-auto"))
+    t.create(LakeTable.baseSchema)
+    def evS(lsn: Long, repo: String, stars: Long): Row =
+      Row(lsn, 0L, new java.sql.Timestamp(1700000000000L + lsn * 1000), "insert",
+        repo, "p", s"c$lsn", "scala", s"v$lsn", null, s"""{"stars": $stars}""")
+    val ddl: Row =
+      Row(1L, 0L, new java.sql.Timestamp(1700000000000L), "schema_change",
+        null, null, null, null, null,
+        """{"addColumn":{"name":"stars","type":"long"}}""", null)
+    t.merge(batch(ddl +: (0 until 40).map(i => evS(10 + i, f"a$i%02d", i.toLong))), "e", 0)
+    t.merge(batch((0 until 40).map(i => evS(200 + i, f"z$i%02d", 2000L + i))), "e", 1)
+    val total = t.head().files.size
+    assert(t.head().files.forall(_.longStats.contains("stars")),
+      "int64 leafs must be statted automatically")
+    val pred = col("stars") >= 2000L
+    assert(t.readWhere(pred).count() === 40)
+    assert(scannedFiles(t.readWhere(pred)) < total,
+      "auto-statted column should prune with default statColumns")
+    assert(t.readWhere(pred).collect().toSet === t.read().filter(pred).collect().toSet)
+  }
+
   test("int-widened-to-long column: INT32-era files still prune under long predicates") {
     val t = new LakeTable(spark, tmpDir("prune-widen"),
       statColumns = Seq("lang", "commit", "stars"))
