@@ -13,6 +13,7 @@ import graft.stream.{CdcIngest, Lineage}
   *   ingest   <eventsDir> <tableRoot> <checkpointDir> [saltBuckets] [epoch]
   *   e2e      <workDir> [numEvents]         — generate→ingest→verify vs oracle
   *   show     <tableRoot>                   — print snapshot + sample rows
+  *   history  <tableRoot>                   — commit audit log (DESCRIBE HISTORY analog)
   *   feed     <tableRoot> <checkpointDir> [startingVersion] [maxVersionsPerTrigger]
   *            — drain the committed change feed (graft-changes streaming
   *              source) to the console; re-run with the same checkpoint to
@@ -108,6 +109,11 @@ object Main {
         }
         .start()
       q.awaitTermination()
+      spark.stop()
+
+    case "history" :: tableRoot :: _ =>
+      val spark = session()
+      new LakeTable(spark, tableRoot).history().show(50, truncate = false)
       spark.stop()
 
     case "docs" :: _ =>

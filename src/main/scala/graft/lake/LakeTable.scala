@@ -47,7 +47,8 @@ final class LakeTable(spark: SparkSession, val root: String,
     // tryCommit: two racing creators both succeed idempotently (the loser's
     // intent — "the table exists" — is satisfied by the winner's v0)
     if (log.latestVersion().isEmpty)
-      log.tryCommit(Snapshot(0L, baseSchema, Map.empty, Seq.empty, BatchLedger.empty, -1L))
+      log.tryCommit(Snapshot(0L, baseSchema, Map.empty, Seq.empty,
+        BatchLedger.empty, -1L, operation = "create"))
   }
 
   def head(): Snapshot = log.head().getOrElse(
@@ -184,6 +185,23 @@ final class LakeTable(spark: SparkSession, val root: String,
     */
   def readVersion(version: Long): DataFrame = readAt(log.read(version))
 
+  /** Commit history, newest first — the DESCRIBE HISTORY analog: one row per
+    * retained snapshot with the operation that produced it, the writer's
+    * commit wall clock, and table-size aggregates. Built from snapshot-file
+    * METADATA only (no manifest loads, no data I/O — the aggregates were
+    * precomputed at commit time), so the cost is one small JSON read per
+    * retained version regardless of table size; retention via
+    * [[expireSnapshots]] bounds the row count.
+    */
+  def history(): DataFrame = {
+    import spark.implicits._
+    log.history().toDF().select(
+      col("version"), col("parent"), col("operation"),
+      timestamp_millis(col("committedAt")).as("committed_at"),
+      col("files"), col("liveRows").as("live_rows"), col("bytes"),
+      col("tombstoneFiles").as("tombstone_files"), col("maxLsn").as("max_lsn"))
+  }
+
   private def readAt(snap: Snapshot): DataFrame =
     readAt(snap, snap.files)
 
@@ -283,7 +301,7 @@ final class LakeTable(spark: SparkSession, val root: String,
     * ledger idempotence per (epoch, batchId).
     */
   def merge(batch: DataFrame, epoch: String, batchId: Long, saltBuckets: Int = 0,
-            recordInLedger: Boolean = true): MergeStats = {
+            recordInLedger: Boolean = true, operation: String = "merge"): MergeStats = {
     // Optimistic concurrency: on a lost commit race the merge RECOMPUTES
     // against the new head rather than rebasing its output metadata. A
     // metadata-only rebase is UNSOUND for a merge: output rows are stamped
@@ -300,7 +318,8 @@ final class LakeTable(spark: SparkSession, val root: String,
       if (recordInLedger && snap.ledger.contains(epoch, batchId)) {
         return MergeStats(epoch, batchId, snap.version, 0, 0, 0, 0, 0, noOp = true)
       }
-      mergeOnce(snap, batch, epoch, batchId, saltBuckets, recordInLedger) match {
+      mergeOnce(snap, batch, epoch, batchId, saltBuckets, recordInLedger,
+        operation) match {
         case Some(stats) => out = stats
         case None =>
           attempts += 1
@@ -316,7 +335,8 @@ final class LakeTable(spark: SparkSession, val root: String,
 
   private def mergeOnce(snap: Snapshot, batch: DataFrame, epoch: String,
                         batchId: Long, saltBuckets: Int,
-                        recordInLedger: Boolean): Option[MergeStats] = {
+                        recordInLedger: Boolean,
+                        operation: String): Option[MergeStats] = {
 
     // ---- schema-change events: a separate TINY pass. `op = 'schema_change'`
     // pushes down to the parquet scan, so this touches almost nothing; doing
@@ -533,7 +553,8 @@ final class LakeTable(spark: SparkSession, val root: String,
       ledger = if (recordInLedger) snap.ledger.add(epoch, batchId) else snap.ledger,
       parent = snap.version,
       maxLsn = math.max(snap.maxLsn, batchMaxLsn),
-      widenedAt = widened)
+      widenedAt = widened,
+      operation = operation)
     if (!log.tryCommit(next)) return None // lost the race: caller recomputes
 
     Some(MergeStats(epoch, batchId, next.version,
@@ -561,7 +582,8 @@ final class LakeTable(spark: SparkSession, val root: String,
     */
   def append(rows: DataFrame, epoch: String, batchId: Long,
              recordInLedger: Boolean = true): MergeStats =
-    applyChanges(rows.withColumn("__op", lit("insert")), epoch, batchId, recordInLedger)
+    applyChanges(rows.withColumn("__op", lit("insert")), epoch, batchId,
+      recordInLedger, operation = "append")
 
   /** The general plain-row change surface: `rows` carries the user columns
     * (keys required, others optional → null) plus `__op` ∈ {insert, delete},
@@ -569,7 +591,8 @@ final class LakeTable(spark: SparkSession, val root: String,
     * the full merge path. Backs [[append]], [[delete]], and SQL MERGE INTO.
     */
   def applyChanges(rows: DataFrame, epoch: String, batchId: Long,
-                   recordInLedger: Boolean = true): MergeStats = {
+                   recordInLedger: Boolean = true,
+                   operation: String = "write"): MergeStats = {
     val snap = head()
     val present = rows.columns.toSet - "__op"
     val unknown = present -- snap.schema.fieldNames
@@ -595,7 +618,8 @@ final class LakeTable(spark: SparkSession, val root: String,
       col("__op").as("op"),
       lit(null).cast(StringType).as("schema_change"),
       extraCol.as("extra")): _*)
-    merge(ev, epoch, batchId, recordInLedger = recordInLedger)
+    merge(ev, epoch, batchId, recordInLedger = recordInLedger,
+      operation = operation)
   }
 
   /** Delete every key in `keys` (columns `repo`, `path`): tombstone events
@@ -606,7 +630,8 @@ final class LakeTable(spark: SparkSession, val root: String,
   def delete(keys: DataFrame, epoch: String, batchId: Long,
              recordInLedger: Boolean = true): MergeStats =
     applyChanges(keys.select(col("repo"), col("path"))
-      .withColumn("__op", lit("delete")), epoch, batchId, recordInLedger)
+      .withColumn("__op", lit("delete")), epoch, batchId, recordInLedger,
+      operation = "delete")
 
   /** `SaveMode.Overwrite` / `INSERT OVERWRITE`: replace the table's contents
     * with `rows` in one commit (Iceberg REPLACE semantics). The previous
@@ -626,14 +651,15 @@ final class LakeTable(spark: SparkSession, val root: String,
       if (recordInLedger && snap.ledger.contains(epoch, batchId))
         return MergeStats(epoch, batchId, snap.version, 0, 0, 0, 0, 0, noOp = true)
       truncated = log.tryCommit(snap.copy(version = snap.version + 1,
-        files = Seq.empty, parent = snap.version))
+        files = Seq.empty, parent = snap.version, operation = "truncate"))
       if (!truncated) {
         attempts += 1
         if (attempts >= 5) throw new IllegalStateException(
           s"overwrite($epoch, $batchId) lost $attempts truncate races; giving up")
       }
     }
-    append(rows, epoch, batchId, recordInLedger = recordInLedger)
+    applyChanges(rows.withColumn("__op", lit("insert")), epoch, batchId,
+      recordInLedger, operation = "overwrite")
   }
 
   /** Bin-pack fragmented data files and expire old tombstones.
@@ -705,7 +731,7 @@ final class LakeTable(spark: SparkSession, val root: String,
         val next = base.copy(
           version = base.version + 1,
           files = base.files.filterNot(f => removed.contains(f.path)) ++ packed,
-          parent = base.version)
+          parent = base.version, operation = "compact")
         if (log.tryCommit(next)) result = next
         else {
           attempts += 1

@@ -64,7 +64,20 @@ final case class Snapshot(
     ledger: BatchLedger,
     parent: Long,
     maxLsn: Long = -1L,
-    widenedAt: Map[String, (Long, String)] = Map.empty)
+    widenedAt: Map[String, (Long, String)] = Map.empty,
+    operation: String = "")
+
+/** One line of [[SnapshotLog.history]]: a commit's audit header, read from
+  * the snapshot JSON alone — no manifest loads, no data I/O. Size aggregates
+  * are computed once at commit time and stored; `-1` = unknown (snapshot
+  * predates the field). `committedAt` is the writer's wall clock at publish
+  * (audit/ops metadata, not part of table semantics — versions, not clocks,
+  * order commits).
+  */
+final case class CommitInfo(
+    version: Long, parent: Long, operation: String, committedAt: Long,
+    files: Long, liveRows: Long, bytes: Long, tombstoneFiles: Long,
+    maxLsn: Long)
 
 /** Manifest entry with per-file key-range stats for file pruning.
   * Bounds are Options: None = unbounded on that side (stat missing, or
@@ -398,10 +411,19 @@ final class SnapshotLog(spark: SparkSession, root: String) {
   }
 
   private def renderSnapshot(s: Snapshot, manifests: Seq[String]): String = {
+    val live = s.files.filterNot(_.tomb)
     val json: JObject =
       ("version" -> s.version) ~
       ("parent" -> s.parent) ~
       ("maxLsn" -> s.maxLsn) ~
+      // audit header (see CommitInfo): aggregates precomputed here so
+      // history() never loads a manifest
+      ("operation" -> s.operation) ~
+      ("committedAt" -> System.currentTimeMillis()) ~
+      ("fileCount" -> s.files.size) ~
+      ("liveRows" -> live.map(_.rows).sum) ~
+      ("bytes" -> s.files.map(_.bytes).sum) ~
+      ("tombstoneFiles" -> (s.files.size - live.size)) ~
       ("schema" -> JsonMethods.parse(s.schema.json)) ~
       ("addedAtLsn" -> s.addedAtLsn) ~
       ("ledgerHwm" -> s.ledger.hwm) ~
@@ -439,6 +461,36 @@ final class SnapshotLog(spark: SparkSession, root: String) {
             ((w \ "lsn").extract[Long], (w \ "from").extract[String])
         }.toMap
         case _ => Map.empty // pre-widening snapshots
+      },
+      operation = (j \ "operation") match {
+        case JString(s) => s
+        case _ => "" // pre-audit-header snapshots
       })
   }
+
+  /** A commit's audit header from its snapshot JSON alone (no manifest
+    * loads); fields a pre-audit-header snapshot lacks come back as ""/-1.
+    */
+  def describe(version: Long): CommitInfo = {
+    val j = JsonMethods.parse(readText(new Path(metaDir, s"v$version.json")))
+    def long(field: String): Long = (j \ field) match {
+      case JInt(v) => v.toLong
+      case JLong(v) => v
+      case _ => -1L
+    }
+    CommitInfo(
+      version = long("version"), parent = long("parent"),
+      operation = (j \ "operation") match { case JString(s) => s; case _ => "" },
+      committedAt = long("committedAt"), files = long("fileCount"),
+      liveRows = long("liveRows"), bytes = long("bytes"),
+      tombstoneFiles = long("tombstoneFiles"), maxLsn = long("maxLsn"))
+  }
+
+  /** Audit headers of every retained snapshot, newest first (the DESCRIBE
+    * HISTORY analog). Metadata-only: one small JSON read per retained
+    * version, bounded by expireSnapshots' retention — no manifest or data
+    * I/O regardless of table size.
+    */
+  def history(): Seq[CommitInfo] =
+    listVersions().sorted(Ordering[Long].reverse).map(describe)
 }

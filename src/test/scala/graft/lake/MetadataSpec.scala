@@ -179,3 +179,46 @@ class SnapshotMetadataSpec extends SparkSuite {
     assert(t.read().select("content").as[String].head() === "v5")
   }
 }
+
+/** `LakeTable.history()` — the DESCRIBE HISTORY analog: every commit path
+  * stamps its operation + wall clock + size aggregates into the snapshot
+  * JSON, and history() reads them back without touching a manifest.
+  */
+class HistorySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("every commit path stamps its operation; aggregates match the table") {
+    val t = new LakeTable(spark, tmpDir("hist"))
+    t.create(LakeTable.baseSchema)
+    def b(rows: org.apache.spark.sql.Row*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), graft.events.EventLog.eventSchema)
+    def ev(lsn: Long, op: String, repo: String, path: String) =
+      org.apache.spark.sql.Row(lsn, 0L, new java.sql.Timestamp(1700000000000L + lsn),
+        op, repo, path, s"c$lsn", "scala", s"v$lsn", null, null)
+    t.merge(b(ev(1, "insert", "r1", "a"), ev(2, "insert", "r1", "b")), "e", 0)
+    t.append(Seq(("r2", "c", "x")).toDF("repo", "path", "content"), "e", 1)
+    t.delete(Seq(("r1", "b")).toDF("repo", "path"), "e", 2)
+    t.compact(targetRowsPerFile = 1000, full = true)
+    t.overwrite(Seq(("r9", "z", "y")).toDF("repo", "path", "content"), "e", 3)
+
+    val h = t.history().collect()
+    assert(h.map(_.getAs[Long]("version")).toSeq ===
+      h.map(_.getAs[Long]("version")).toSeq.sorted.reverse, "newest first")
+    val ops = h.sortBy(_.getAs[Long]("version")).map(_.getAs[String]("operation")).toSeq
+    assert(ops === Seq(
+      "create", "merge", "append", "delete", "compact", "truncate", "overwrite"), ops)
+    // metadata-only aggregates agree with the actual head state
+    val head = h.maxBy(_.getAs[Long]("version"))
+    assert(head.getAs[Long]("live_rows") === t.read().count())
+    assert(head.getAs[Long]("files") === t.head().files.size.toLong)
+    assert(head.getAs[Long]("bytes") > 0L)
+    assert(head.getAs[java.sql.Timestamp]("committed_at") != null)
+    // truncate's empty commit reports zero rows/files
+    val trunc = h.find(_.getAs[String]("operation") == "truncate").get
+    assert(trunc.getAs[Long]("live_rows") === 0L && trunc.getAs[Long]("files") === 0L)
+    // a FRESH log instance reads the same audit headers (JSON round-trip)
+    val again = new LakeTable(spark, t.root).history().collect()
+    assert(again.map(r => (r.getAs[Long]("version"), r.getAs[String]("operation"))).toSeq
+      === h.map(r => (r.getAs[Long]("version"), r.getAs[String]("operation"))).toSeq)
+  }
+}
