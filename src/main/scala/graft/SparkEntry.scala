@@ -34,6 +34,7 @@ object SparkEntry {
     // --- the CDC engine end-to-end (north rule; oracle = ScalaTest fold,
     // not SQL-expressible → driver does a rows-only check) ---
     "q_cdc_engine_e2e"     -> Queries.cdcEngineE2e _,
+    "q_cdc_mor"            -> Queries.cdcMor _,
     "q_change_feed"        -> Queries.changeFeed _,
     "q_change_feed_stream" -> Queries.changeFeedStream _,
     "q_change_rates"       -> Queries.changeRatesQ _,
@@ -251,6 +252,22 @@ object SparkEntry {
         |  (16 + ((16 + doc_id % 64) * (16 + doc_id % 48) // 8) * (1 + doc_id % 8))::BIGINT AS n_bytes
         |FROM documents""".stripMargin,
     "q_cdc_engine_e2e" ->
+      """WITH mapped AS (
+        |  SELECT 'r' || CAST(user_id % 25 AS VARCHAR) AS repo,
+        |    'p' || CAST(user_id AS VARCHAR) AS path,
+        |    event_id,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+        |    CAST(event_id AS VARCHAR) AS last_commit,
+        |    event_type AS lang, props AS content
+        |  FROM events)
+        |SELECT repo, path, last_commit, lang, content_sha FROM (
+        |  SELECT repo, path, last_commit, lang, op, sha256(content) AS content_sha,
+        |    row_number() OVER (PARTITION BY repo, path ORDER BY event_id DESC) AS rn
+        |  FROM mapped)
+        |WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+    // the merge-on-read ingest must be observationally identical to
+    // copy-on-write — same oracle as q_cdc_engine_e2e
+    "q_cdc_mor" ->
       """WITH mapped AS (
         |  SELECT 'r' || CAST(user_id % 25 AS VARCHAR) AS repo,
         |    'p' || CAST(user_id AS VARCHAR) AS path,
@@ -768,7 +785,8 @@ object Queries {
     * streaming ingest in a fresh scratch table; shared by the engine-e2e and
     * change-feed queries.
     */
-  private def stageAndIngest(s: SparkSession, d: String, kind: String): graft.lake.LakeTable = {
+  private def stageAndIngest(s: SparkSession, d: String, kind: String,
+                             deferred: Boolean = false): graft.lake.LakeTable = {
     val work = scratchDir(kind, d)
     val log = events(s, d).select(
       col("event_id").as("lsn"),
@@ -784,7 +802,8 @@ object Queries {
       lit(null).cast("string").as("extra"))
     log.repartition(8).write.parquet(s"$work/events")
     val ingest = new graft.stream.CdcIngest(
-      s, s"$work/table", s"$work/events", s"$work/cp", maxFilesPerTrigger = 2)
+      s, s"$work/table", s"$work/events", s"$work/cp", maxFilesPerTrigger = 2,
+      deferred = deferred)
     ingest.runToCompletion()
     ingest.table
   }
@@ -792,6 +811,23 @@ object Queries {
   def cdcEngineE2e(s: SparkSession, d: String): DataFrame = {
     val t = stageAndIngest(s, d, "cdc").read()
     t.select(col("repo"), col("path"), col("commit").as("last_commit"),
+      col("lang"), sha2(col("content"), 256).as("content_sha"))
+  }
+
+  /** MERGE-ON-READ twin of q_cdc_engine_e2e: the same mapped change log is
+    * ingested with DEFERRED merges (each micro-batch lands as range-clustered
+    * delta files with ZERO target rewrite — `LakeTable.mergeDeferred`, the
+    * Hudi MOR-table analog), then one incremental compaction materializes
+    * the deltas and the final state reads back through the native scan.
+    * Same last-event-wins oracle as the copy-on-write path: merge-on-read
+    * must be observationally identical — only the write-amplification
+    * profile differs (O(batch) per micro-batch + one bounded compaction,
+    * vs O(touched files) per micro-batch).
+    */
+  def cdcMor(s: SparkSession, d: String): DataFrame = {
+    val table = stageAndIngest(s, d, "cdcmor", deferred = true)
+    table.compact(targetRowsPerFile = 1000000L)
+    table.read().select(col("repo"), col("path"), col("commit").as("last_commit"),
       col("lang"), sha2(col("content"), 256).as("content_sha"))
   }
 

@@ -79,7 +79,16 @@ final class GraftSourceProvider extends RelationProvider
         // against one immutable snapshot even if writers commit concurrently
         val snap = parameters.get("versionAsOf").map(_.toLong)
           .map(table.log.read).getOrElse(table.head())
-        HadoopFsRelation(
+        if (snap.files.exists(_.delta))
+          // deferred-merge deltas pending: correct results need the per-key
+          // resolution window, which a bare file-scan relation cannot carry —
+          // serve the RESOLVED live state through the row-based fallback
+          // (Hudi's read-optimized vs real-time split, with the real-time
+          // view the only one we ever serve: correctness is not optional).
+          // The native vectorized path below returns as soon as a compaction
+          // (or the in-loop Maintenance) materializes the deltas.
+          new GraftResolvedSnapshotRelation(sqlContext, table, snap)
+        else HadoopFsRelation(
           location = new GraftFileIndex(spark, table, snap),
           partitionSchema = StructType(Nil),
           dataSchema = snap.schema,
@@ -165,6 +174,28 @@ final class GraftChangesRelation(
   override def buildScan(requiredColumns: Array[String]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
     val f = feed
     // empty projection (e.g. COUNT(*)) still needs the row cardinality
+    if (requiredColumns.isEmpty) f.select().rdd.map(_ => org.apache.spark.sql.Row())
+    else f.select(requiredColumns.toSeq.map(f.col): _*).rdd
+  }
+}
+
+/** Live-snapshot relation for tables with PENDING deferred-merge deltas:
+  * the per-key merge-on-read resolution ([[LakeTable]]'s window over base +
+  * delta files) runs inside the served DataFrame plan, so any query through
+  * `format("graft")` stays exact while deltas exist. Row-conversion cost is
+  * the price of pending deltas, paid only until compaction materializes them
+  * — the provider switches back to the native `HadoopFsRelation` scan on a
+  * delta-free snapshot. Column pruning is honored after resolution
+  * ([[PrunedScan]]); row filters stay Spark-side (exact for any shape).
+  */
+final class GraftResolvedSnapshotRelation(
+    override val sqlContext: SQLContext, table: LakeTable, snap: Snapshot)
+  extends BaseRelation with PrunedScan {
+
+  override val schema: StructType = snap.schema
+
+  override def buildScan(requiredColumns: Array[String]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val f = table.scanLive(snap, snap.files)
     if (requiredColumns.isEmpty) f.select().rdd.map(_ => org.apache.spark.sql.Row())
     else f.select(requiredColumns.toSeq.map(f.col): _*).rdd
   }

@@ -86,6 +86,55 @@ final class LakeTable(spark: SparkSession, val root: String,
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
   }
 
+  /** [[readStored]] plus a per-row resolution-preference column `__pref`:
+    * `-1` for rows from base (copy-on-write) files, the row's `_ver` for rows
+    * from delta (deferred-merge) files. With the window ordering
+    * `(_lsn DESC, __pref ASC)` this encodes the engine's tie rules at read
+    * time: on equal LSN a base row beats any delta (a re-delivered duplicate
+    * keeps the originally-stamped `_ver`, exactly like the copy-on-write
+    * merge where the target wins ties), and among deltas the EARLIEST commit
+    * wins (first delivery, matching what cumulative copy-on-write merges
+    * would have produced). Like `_deleted`, the flag is per FILE GROUP, so it
+    * costs a literal, not a physical column.
+    */
+  private def readStoredTagged(snap: Snapshot, entries: Seq[DataFileEntry]): DataFrame = {
+    val st = storageSchema(snap)
+    val noDel = StructType(st.fields.filterNot(_.name == "_deleted"))
+    val grouped = entries.groupBy(e => (e.tomb, e.delta)).toSeq.sortBy(_._1)
+    grouped.map { case ((tomb, delta), fs) =>
+      spark.read.schema(noDel).parquet(fs.map(_.path): _*)
+        .withColumn("_deleted", lit(tomb))
+        .withColumn("__pref", if (delta) col("_ver") else lit(-1L))
+    }
+      .reduceOption(_.unionByName(_))
+      .map(_.select((st.fieldNames.toSeq :+ "__pref").map(col): _*))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(st.fields.toSeq :+ StructField("__pref", LongType, nullable = false))))
+  }
+
+  /** Stored state of `entries` with deferred-merge (delta) files RESOLVED:
+    * one winner row per key, picked by the same last-LSN-wins /
+    * base-beats-delta-on-ties rule the copy-on-write merge applies at write
+    * time ([[readStoredTagged]]). When no delta files are present this is
+    * exactly [[readStored]] — zero added plan nodes on a compacted table.
+    * This is the merge-on-read trade: deferred merges make the WRITE O(batch)
+    * (no target read, no rewrite) and shift the per-key window here, until a
+    * compaction materializes the deltas back into base files.
+    */
+  private def resolveStored(snap: Snapshot, entries: Seq[DataFileEntry]): DataFrame = {
+    if (!entries.exists(_.delta)) readStored(snap, entries)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col("_lsn").desc, col("__pref").asc)
+      readStoredTagged(snap, entries)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "__pref")
+    }
+  }
+
   /** User-visible table state: live rows only, engine columns hidden. */
   def read(): DataFrame = readAt(head())
 
@@ -210,8 +259,19 @@ final class LakeTable(spark: SparkSession, val root: String,
     * pruned reads. Tombstones sit in separate files, so a live read is a
     * plain projected parquet scan: no row filter, no tombstone bytes read
     * (schema projection also skips the physical `_lsn`/`_ver` columns).
+    *
+    * When deferred-merge delta files are pending, the read is instead the
+    * RESOLVED state ([[resolveStored]]): tombstone files participate (a delta
+    * tombstone must shadow an older base row) and the winner per key is
+    * filtered to live rows. Sound under file pruning because bounds-based
+    * pruning keeps every file that can hold a key, so all of a surviving
+    * key's row copies enter the window together.
     */
   private def readAt(snap: Snapshot, entries: Seq[DataFileEntry]): DataFrame = {
+    if (entries.exists(_.delta))
+      return resolveStored(snap, entries)
+        .filter(!col("_deleted"))
+        .select(snap.schema.fieldNames.map(col).toSeq: _*)
     val live = entries.filterNot(_.tomb)
     if (live.isEmpty)
       spark.createDataFrame(
@@ -274,7 +334,14 @@ final class LakeTable(spark: SparkSession, val root: String,
     // rather than silently dropping pre-upgrade history — re-delivery is
     // idempotent for a last-wins consumer, a dropped change is unrecoverable.
     // The OR of two pushable predicates still reaches the parquet scan.
-    readStored(to, added)
+    //
+    // With deferred merges, several delta commits in the window can each hold
+    // a row for the same key; resolveStored picks the final state per key
+    // (the feed contract: each changed key appears exactly once) BEFORE the
+    // `_ver` filter — the winner is the key's newest row, and if the winner
+    // predates the window (base beats an equal-LSN duplicate delta) the key
+    // correctly does not surface. Delta-free windows keep the plain scan.
+    resolveStored(to, added)
       .filter(col("_ver").isNull || col("_ver") > fromVersion)
   }
 
@@ -333,52 +400,182 @@ final class LakeTable(spark: SparkSession, val root: String,
     out
   }
 
-  private def mergeOnce(snap: Snapshot, batch: DataFrame, epoch: String,
-                        batchId: Long, saltBuckets: Int,
-                        recordInLedger: Boolean,
-                        operation: String): Option[MergeStats] = {
+  /** MERGE-ON-READ twin of [[merge]] (Hudi log-file / Iceberg v2
+    * merge-on-read analog): apply the batch WITHOUT reading or rewriting any
+    * target file. The batch's per-key winners (same last-LSN-wins /
+    * event-id-tie dedup rule) are written as range-clustered DELTA files and
+    * the snapshot carries every previous file by reference — write cost is
+    * O(batch), independent of how many table files the keys touch. This is
+    * the scale answer to copy-on-write's weak spot: a random-key update
+    * batch at the 10^10-row design point touches (and under copy-on-write
+    * rewrites) a large fraction of the table's files per batch; deferred
+    * merges make ingest write-amplification 1 and shift the per-key
+    * resolution to readers ([[resolveStored]]) until a compaction — or any
+    * later copy-on-write merge touching the same ranges — materializes the
+    * deltas ([[compact]] rewrites delta files unconditionally, pulling in
+    * every base file whose key range overlaps). Same idempotence ledger,
+    * schema-evolution handling, and lineage counters as [[merge]]; same
+    * recompute-on-lost-race concurrency rule (output rows are stamped
+    * `_ver = parent + 1`, so a metadata rebase would break the change feed —
+    * see [[merge]]; the recompute is cheap here, O(batch)).
+    *
+    * Trade-offs a caller accepts until the next compaction: reads resolve
+    * through a window (no longer a bare vectorized scan — the
+    * `format("graft")` relation drops to its row-based fallback), and
+    * `history()`'s `live_rows` counts stored rows (an upper bound while
+    * shadowed rows exist).
+    */
+  def mergeDeferred(batch: DataFrame, epoch: String, batchId: Long,
+                    saltBuckets: Int = 0, recordInLedger: Boolean = true,
+                    operation: String = "merge-deferred"): MergeStats = {
+    var attempts = 0
+    var out: MergeStats = null
+    while (out == null) {
+      val snap = head()
+      if (recordInLedger && snap.ledger.contains(epoch, batchId)) {
+        return MergeStats(epoch, batchId, snap.version, 0, 0, 0, 0, 0, noOp = true)
+      }
+      deferredOnce(snap, batch, epoch, batchId, saltBuckets, recordInLedger,
+        operation) match {
+        case Some(stats) => out = stats
+        case None =>
+          attempts += 1
+          if (attempts >= 5) throw new IllegalStateException(
+            s"mergeDeferred($epoch, $batchId) lost $attempts commit races; giving up " +
+              "(is another writer committing in a tight loop?)")
+          System.err.println(s"[lake] mergeDeferred($epoch, $batchId) lost a " +
+            "commit race; recomputing against the new head")
+      }
+    }
+    out
+  }
 
-    // ---- schema-change events: a separate TINY pass. `op = 'schema_change'`
-    // pushes down to the parquet scan, so this touches almost nothing; doing
-    // it inside the big per-key agg (collect_list of structs) used to
-    // allocate a list buffer for every one of millions of keys to carry a
-    // handful of DDL rows.
+  private def deferredOnce(snap: Snapshot, batch: DataFrame, epoch: String,
+                           batchId: Long, saltBuckets: Int,
+                           recordInLedger: Boolean,
+                           operation: String): Option[MergeStats] = {
     val scRows = timed("schema-scan")(batch
       .filter(col("op") === "schema_change")
       .select(col("lsn"), col("schema_change"))
       .collect().toSeq.sortBy(_.getLong(0)))
 
-    // ---- ONE narrow pre-aggregation over data events (key/lsn/op columns
-    // only — a few % of batch bytes) feeds lineage counters AND file-pruning
-    // keys; cached so the two driver actions share the shuffle.
-    val keyAgg = batch
-      .filter(col("op") =!= "schema_change")
-      .select(col("repo"), col("path"), col("lsn"), col("event_id"), col("op"))
-      .groupBy(col("repo"), col("path"))
-      .agg(
-        max_by(col("op"), struct(col("lsn"), col("event_id"))).as("__winOp"),
-        count(lit(1)).as("__n"),
-        max(col("lsn")).as("__maxLsn"))
-      .persist()
-
+    // one narrow pre-aggregation feeds the lineage counters (no file pruning
+    // here — no target files are read, which is the whole point)
     val (distinctKeys, eventsSeen, deleteWinners, batchMaxLsn) = timed("pre-agg") {
-      val r = keyAgg.agg(
-        count(lit(1)),
-        coalesce(sum(col("__n")), lit(0L)),
-        coalesce(sum(when(col("__winOp") === "delete", 1L).otherwise(0L)), lit(0L)),
-        coalesce(max(col("__maxLsn")), lit(-1L))).collect()(0)
+      val r = batch
+        .filter(col("op") =!= "schema_change")
+        .select(col("repo"), col("path"), col("lsn"), col("event_id"), col("op"))
+        .groupBy(col("repo"), col("path"))
+        .agg(
+          max_by(col("op"), struct(col("lsn"), col("event_id"))).as("__winOp"),
+          count(lit(1)).as("__n"),
+          max(col("lsn")).as("__maxLsn"))
+        .agg(
+          count(lit(1)),
+          coalesce(sum(col("__n")), lit(0L)),
+          coalesce(sum(when(col("__winOp") === "delete", 1L).otherwise(0L)), lit(0L)),
+          coalesce(max(col("__maxLsn")), lit(-1L))).collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2),
         math.max(r.getLong(3), scRows.lastOption.map(_.getLong(0)).getOrElse(-1L)))
     }
 
-    // ---- schema-change events: evolve schema, record add-LSN gates.
-    // `addColumn` introduces a nullable column; `widenColumn` changes an
-    // existing column's type within the SAFE-WIDENING whitelist (int→long,
-    // float→double; a new column is already the null→anything case) —
-    // metadata-only, since Spark's Parquet reader natively reads the old
-    // physical type into the widened logical one. Narrowing / unknown types
-    // / unknown columns / unrecognized change shapes are QUARANTINED: counted
-    // into lineage and logged, never failing the stream (SURVEY §7.7(3)).
+    val evo = evolveSchema(snap, scRows)
+
+    val data = batch.filter(col("op") =!= "schema_change")
+    val changes =
+      if (saltBuckets == 0) data
+      else Salting.dedupSalted(data, keyCols, Seq(col("lsn"), col("event_id")),
+        if (saltBuckets == -1) 0 else saltBuckets)
+
+    val src = changes.select(
+      storageProjection(evo.schema, evo.addedAt, evo.widened) ++ Seq(
+        col("lsn").as("_lsn"),
+        (col("op") === "delete").as("_deleted"),
+        lit(snap.version + 1).as("_ver"),
+        col("event_id").as("__tie")): _*)
+
+    // batch-local dedup in ONE range shuffle; the delta files come out
+    // range-clustered by key, so their manifest bounding boxes stay tight —
+    // read-time resolution, compaction closure, and later copy-on-write
+    // pruning all depend on delta bounds being selective
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_lsn").desc, col("__tie").desc)
+    val winners = src.repartitionByRange(col("repo"), col("path"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__tie")
+
+    val newDir = s"${log.dataDir}/delta-v${snap.version + 1}-b$batchId-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    timed("delta-write")(winners
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("_deleted").parquet(newDir))
+    val newFiles = timed("footer-stats")(
+      LakeTable.footerStats(spark, newDir, statColumns = statColumns)
+        .map(_.copy(delta = true)))
+
+    val next = Snapshot(
+      version = snap.version + 1,
+      schema = evo.schema,
+      addedAtLsn = evo.addedAt,
+      files = snap.files ++ newFiles,
+      ledger = if (recordInLedger) snap.ledger.add(epoch, batchId) else snap.ledger,
+      parent = snap.version,
+      maxLsn = math.max(snap.maxLsn, batchMaxLsn),
+      widenedAt = evo.widened,
+      operation = operation)
+    if (!log.tryCommit(next)) return None
+
+    Some(MergeStats(epoch, batchId, next.version,
+      eventsSeen = eventsSeen + scRows.length,
+      duplicatesDropped = eventsSeen - distinctKeys,
+      upserts = distinctKeys - deleteWinners,
+      deletes = deleteWinners,
+      schemaChanges = evo.applied,
+      schemaQuarantined = evo.quarantined,
+      noOp = false))
+  }
+
+  /** Event→storage-row projection under an evolved schema: extras gated by
+    * column add-LSN; the PARSE type of a widened column is gated by the widen
+    * LSN (a pre-widen row parses through the ORIGINAL type then widens —
+    * exactly how its stored physical value would read back — so the final
+    * table is invariant to how the log is split into batches). Shared by the
+    * copy-on-write and deferred merge paths.
+    */
+  private def storageProjection(
+      schema: StructType, addedAt: Map[String, Long],
+      widened: Map[String, (Long, String)]): Seq[org.apache.spark.sql.Column] =
+    schema.fields.toSeq.map { f =>
+      if (keyCols.contains(f.name)) col(f.name)
+      else addedAt.get(f.name) match {
+        case Some(atLsn) =>
+          val raw = get_json_object(col("extra"), s"$$.${f.name}")
+          val typed = widened.get(f.name) match {
+            case Some((wLsn, fromName)) =>
+              when(col("lsn") > lit(wLsn), raw.cast(f.dataType))
+                .otherwise(raw.cast(parseTypeName(fromName)).cast(f.dataType))
+            case None => raw.cast(f.dataType)
+          }
+          when(col("lsn") > lit(atLsn) && col("op") =!= "delete", typed).as(f.name)
+        case None =>
+          when(col("op") === "delete", lit(null).cast(f.dataType))
+            .otherwise(col(f.name).cast(f.dataType)).as(f.name)
+      }
+    }
+
+  /** Apply `scRows` (lsn-sorted schema_change events) to `snap`'s schema.
+    * `addColumn` introduces a nullable column; `widenColumn` changes an
+    * existing column's type within the SAFE-WIDENING whitelist (int→long,
+    * float→double; a new column is already the null→anything case) —
+    * metadata-only, since Spark's Parquet reader natively reads the old
+    * physical type into the widened logical one. Narrowing / unknown types
+    * / unknown columns / unrecognized change shapes are QUARANTINED: counted
+    * into lineage and logged, never failing the stream (SURVEY §7.7(3)).
+    */
+  private def evolveSchema(
+      snap: Snapshot, scRows: Seq[org.apache.spark.sql.Row]): SchemaEvolution = {
     var schema = snap.schema
     var addedAt = snap.addedAtLsn
     var widened = snap.widenedAt
@@ -442,8 +639,54 @@ final class LakeTable(spark: SparkSession, val root: String,
           quarantine(r.getLong(0), s"malformed JSON: ${r.getString(1).take(120)}")
       }
     }
-    val evolved = snap.copy(schema = schema, addedAtLsn = addedAt, widenedAt = widened)
+    SchemaEvolution(schema, addedAt, widened, scApplied, scQuarantined)
+  }
 
+  private def mergeOnce(snap: Snapshot, batch: DataFrame, epoch: String,
+                        batchId: Long, saltBuckets: Int,
+                        recordInLedger: Boolean,
+                        operation: String): Option[MergeStats] = {
+
+    // ---- schema-change events: a separate TINY pass. `op = 'schema_change'`
+    // pushes down to the parquet scan, so this touches almost nothing; doing
+    // it inside the big per-key agg (collect_list of structs) used to
+    // allocate a list buffer for every one of millions of keys to carry a
+    // handful of DDL rows.
+    val scRows = timed("schema-scan")(batch
+      .filter(col("op") === "schema_change")
+      .select(col("lsn"), col("schema_change"))
+      .collect().toSeq.sortBy(_.getLong(0)))
+
+    // ---- ONE narrow pre-aggregation over data events (key/lsn/op columns
+    // only — a few % of batch bytes) feeds lineage counters AND file-pruning
+    // keys; cached so the two driver actions share the shuffle.
+    val keyAgg = batch
+      .filter(col("op") =!= "schema_change")
+      .select(col("repo"), col("path"), col("lsn"), col("event_id"), col("op"))
+      .groupBy(col("repo"), col("path"))
+      .agg(
+        max_by(col("op"), struct(col("lsn"), col("event_id"))).as("__winOp"),
+        count(lit(1)).as("__n"),
+        max(col("lsn")).as("__maxLsn"))
+      .persist()
+
+    val (distinctKeys, eventsSeen, deleteWinners, batchMaxLsn) = timed("pre-agg") {
+      val r = keyAgg.agg(
+        count(lit(1)),
+        coalesce(sum(col("__n")), lit(0L)),
+        coalesce(sum(when(col("__winOp") === "delete", 1L).otherwise(0L)), lit(0L)),
+        coalesce(max(col("__maxLsn")), lit(-1L))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.max(r.getLong(3), scRows.lastOption.map(_.getLong(0)).getOrElse(-1L)))
+    }
+
+    val evo = evolveSchema(snap, scRows)
+    val schema = evo.schema
+    val addedAt = evo.addedAt
+    val widened = evo.widened
+    val scApplied = evo.applied
+    val scQuarantined = evo.quarantined
+    val evolved = snap.copy(schema = schema, addedAtLsn = addedAt, widenedAt = widened)
     // ---- the change stream for this batch (all data events) ----
     val data = batch.filter(col("op") =!= "schema_change")
 
@@ -465,23 +708,7 @@ final class LakeTable(spark: SparkSession, val root: String,
     // pre-widen row parses through the ORIGINAL type then widens — exactly
     // how its stored physical value would read back — so the final table is
     // invariant to how the log is split into batches) ----
-    val srcCols = evolved.schema.fields.toSeq.map { f =>
-      if (keyCols.contains(f.name)) col(f.name)
-      else addedAt.get(f.name) match {
-        case Some(atLsn) =>
-          val raw = get_json_object(col("extra"), s"$$.${f.name}")
-          val typed = widened.get(f.name) match {
-            case Some((wLsn, fromName)) =>
-              when(col("lsn") > lit(wLsn), raw.cast(f.dataType))
-                .otherwise(raw.cast(parseTypeName(fromName)).cast(f.dataType))
-            case None => raw.cast(f.dataType)
-          }
-          when(col("lsn") > lit(atLsn) && col("op") =!= "delete", typed).as(f.name)
-        case None =>
-          when(col("op") === "delete", lit(null).cast(f.dataType))
-            .otherwise(col(f.name).cast(f.dataType)).as(f.name)
-      }
-    }
+    val srcCols = storageProjection(evolved.schema, addedAt, widened)
     // `_ver` = commit version that last modified the row: source rows carry
     // the committing version, target rows their stored one. Ties prefer the
     // target (__tie below), so a source row wins the merge window iff it
@@ -493,6 +720,7 @@ final class LakeTable(spark: SparkSession, val root: String,
       (col("op") === "delete").as("_deleted"),
       lit(snap.version + 1).as("_ver"),
       col("event_id").as("__tie"),
+      lit(-1L).as("__pref"),
       lit(false).as("__isTarget")): _*)
 
     // ---- file pruning: touch only files whose (repo, path) bounding box
@@ -514,7 +742,13 @@ final class LakeTable(spark: SparkSession, val root: String,
       })
     keyAgg.unpersist()
 
-    val target = readStored(evolved, snap.files.filter(f => touched.contains(f.path)))
+    // readStoredTagged: when touched files include deferred-merge deltas, the
+    // per-row `__pref` (base −1, delta _ver) breaks LSN ties among TARGET
+    // rows the same way the read-time resolution does — base beats delta
+    // (duplicate re-delivery keeps the original `_ver`), earlier delta commit
+    // beats later. Touched delta files are rewritten like any other touched
+    // file, so a copy-on-write merge also MATERIALIZES the deltas it touches.
+    val target = readStoredTagged(evolved, snap.files.filter(f => touched.contains(f.path)))
       .withColumn("__tie", lit(Long.MaxValue)) // target wins LSN ties: re-applied dup is a no-op
       .withColumn("__isTarget", lit(true))
 
@@ -526,10 +760,10 @@ final class LakeTable(spark: SparkSession, val root: String,
     val unioned = target.unionByName(src)
       .repartitionByRange(col("repo"), col("path"))
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_lsn").desc, col("__tie").desc)
+      .orderBy(col("_lsn").desc, col("__tie").desc, col("__pref").asc)
     val merged = unioned.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", "__tie", "__isTarget")
+      .drop("__rn", "__tie", "__pref", "__isTarget")
 
     // ---- write new data files: live rows and tombstones to SEPARATE files
     // (Iceberg delete-file analog) so live reads never open tombstone bytes.
@@ -698,16 +932,33 @@ final class LakeTable(spark: SparkSession, val root: String,
       // fragmented (undersized) files bin-pack together; JUMBO files (> 4×
       // target — e.g. one giant initial load) split so a later point read
       // is not hostage to a single huge range; tombstone files join the
-      // rewrite when a watermark may expire rows in them
-      val (rewrite, carry) =
-        if (full) (snap.files, Seq.empty[DataFileEntry])
-        else snap.files.partition(f =>
-          f.rows < targetRowsPerFile || f.rows > 4 * targetRowsPerFile ||
+      // rewrite when a watermark may expire rows in them; deferred-merge
+      // DELTA files are always rewritten (compaction is what materializes
+      // merge-on-read state back into plain base files)
+      val seed =
+        if (full) snap.files
+        else snap.files.filter(f =>
+          f.delta || f.rows < targetRowsPerFile || f.rows > 4 * targetRowsPerFile ||
             (f.tomb && tombstoneWatermark.isDefined))
-      val onlyOneSmall = rewrite.size == 1 && rewrite.head.rows < targetRowsPerFile
+      // materializing a delta row into a base file is only sound if every
+      // other stored copy of its key — the base row it shadows, duplicates in
+      // other deltas — is rewritten in the SAME pass (otherwise the pass
+      // would leave two base rows for one key, or resolve against a partial
+      // copy set). Closure over manifest bounding boxes: add every file
+      // overlapping a rewritten delta, transitively through newly-added
+      // deltas. Manifest-level work on the driver — no data I/O.
+      val rewrite = deltaClosure(seed, snap.files)
+      val rewritePaths = rewrite.map(_.path).toSet
+      val carry = snap.files.filterNot(f => rewritePaths.contains(f.path))
+      val onlyOneSmall = rewrite.size == 1 &&
+        rewrite.head.rows < targetRowsPerFile && !rewrite.head.delta
       if (rewrite.isEmpty || (onlyOneSmall && tombstoneWatermark.isEmpty && !full))
         return snap // nothing to bin-pack
-      val all = readStored(snap, rewrite)
+      // resolveStored: a plain re-pack (no deltas) passes rows through
+      // unchanged; with deltas in the set the per-key window materializes
+      // the resolved state (preserving stored _lsn/_ver, so the rebase rule
+      // below still holds)
+      val all = resolveStored(snap, rewrite)
       val kept = tombstoneWatermark match {
         case Some(wm) => all.filter(!col("_deleted") || col("_lsn") > wm)
         case None => all
@@ -752,6 +1003,43 @@ final class LakeTable(spark: SparkSession, val root: String,
     result
   }
 
+  /** Rectangle-overlap test on two manifest entries' (repo, path) bounding
+    * boxes. Every row of a file lies inside its box, so two files sharing a
+    * key MUST have overlapping boxes — box overlap is a sound (conservative)
+    * superset of key overlap. Unknown bounds count as overlapping (fail
+    * closed here: the file is INCLUDED in the rewrite).
+    */
+  private def boxesOverlap(a: DataFileEntry, b: DataFileEntry): Boolean = {
+    def dimOverlaps(aMin: Option[String], aMax: Option[String],
+                    bMin: Option[String], bMax: Option[String]): Boolean = {
+      val disjoint =
+        (for (x <- aMax; y <- bMin) yield utf8Compare(x, y) < 0).getOrElse(false) ||
+          (for (x <- bMax; y <- aMin) yield utf8Compare(x, y) < 0).getOrElse(false)
+      !disjoint
+    }
+    dimOverlaps(a.minRepo, a.maxRepo, b.minRepo, b.maxRepo) &&
+      dimOverlaps(a.minPath, a.maxPath, b.minPath, b.maxPath)
+  }
+
+  /** Close `seed` under "overlaps a delta file in the set": every file whose
+    * key box overlaps a to-be-rewritten delta joins the rewrite, transitively
+    * through newly-added deltas (a base file never extends the frontier —
+    * base rows cannot shadow anything). Returns the closed set in
+    * `all`-order.
+    */
+  private def deltaClosure(
+      seed: Seq[DataFileEntry], all: Seq[DataFileEntry]): Seq[DataFileEntry] = {
+    var in = seed.map(_.path).toSet
+    var frontier = seed.filter(_.delta)
+    while (frontier.nonEmpty) {
+      val added = all.filter(f =>
+        !in.contains(f.path) && frontier.exists(d => boxesOverlap(d, f)))
+      in ++= added.map(_.path)
+      frontier = added.filter(_.delta)
+    }
+    all.filter(f => in.contains(f.path))
+  }
+
   /** Expire snapshots older than the last `keepLast`, deleting their metadata
     * and any data files no surviving snapshot references (GC).
     *
@@ -780,7 +1068,7 @@ final class LakeTable(spark: SparkSession, val root: String,
     log.gcManifests(keepVersions)
     // GC unreferenced data files (recursive: `partitionBy("_deleted")` nests
     // files one level below each commit dir)
-    val dirVer = "^(?:compact-)?v(\\d+)".r
+    val dirVer = "^(?:compact-|delta-)?v(\\d+)".r
     def targetVersion(p: org.apache.hadoop.fs.Path): Option[Long] = {
       // walk up to the child of dataDir (the commit dir) and parse its name
       var cur = p
@@ -802,6 +1090,13 @@ final class LakeTable(spark: SparkSession, val root: String,
 }
 
 object LakeTable {
+
+  /** Outcome of applying a batch's schema-change events to a snapshot's
+    * schema (shared by the copy-on-write and deferred merge paths).
+    */
+  private[lake] final case class SchemaEvolution(
+      schema: StructType, addedAt: Map[String, Long],
+      widened: Map[String, (Long, String)], applied: Long, quarantined: Long)
 
   /** UTF-8 unsigned lexicographic comparison — the order Parquet uses for
     * binary stats AND the order Spark's UTF8String sorts by. Java String

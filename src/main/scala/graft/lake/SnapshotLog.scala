@@ -87,6 +87,13 @@ final case class CommitInfo(
   * the change feed drops whole files with `maxVer <= fromVersion` at planning
   * time — the Iceberg data-sequence-number pruning analog, decisive after a
   * compaction rewrites a mostly-cold table. None = unknown (fail open).
+  *
+  * `delta = true` marks a DEFERRED-merge file (merge-on-read, Hudi log-file
+  * analog): its rows shadow older rows for the same key in base files and
+  * older deltas, resolved at read time by LakeTable's merge window until a
+  * compaction materializes them. Base (copy-on-write) files keep the
+  * invariant of at most one row per key across the live set; delta files
+  * add at most one row per key PER DELTA COMMIT on top.
   */
 final case class DataFileEntry(
     path: String, rows: Long,
@@ -96,7 +103,8 @@ final case class DataFileEntry(
     tomb: Boolean = false,
     bytes: Long = 0L,
     stats: Map[String, (Option[String], Option[String])] = Map.empty,
-    longStats: Map[String, (Option[Long], Option[Long])] = Map.empty) {
+    longStats: Map[String, (Option[Long], Option[Long])] = Map.empty,
+    delta: Boolean = false) {
   /** Min/max bound of `column`, unified over the key columns' dedicated
     * fields and the secondary stats map; (None, None) = unknown (fail open).
     */
@@ -362,7 +370,8 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     ("path" -> f.path) ~ ("rows" -> f.rows) ~
     ("minRepo" -> f.minRepo) ~ ("maxRepo" -> f.maxRepo) ~
     ("minPath" -> f.minPath) ~ ("maxPath" -> f.maxPath) ~
-    ("maxVer" -> f.maxVer) ~ ("tomb" -> f.tomb) ~ ("bytes" -> f.bytes) ~
+    ("maxVer" -> f.maxVer) ~ ("tomb" -> f.tomb) ~ ("delta" -> f.delta) ~
+    ("bytes" -> f.bytes) ~
     ("stats" -> f.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
       ("col" -> c) ~ ("min" -> mn) ~ ("max" -> mx) }) ~
     ("longStats" -> f.longStats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
@@ -382,6 +391,7 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     DataFileEntry((f \ "path").extract[String], (f \ "rows").extract[Long],
       opt("minRepo"), opt("maxRepo"), opt("minPath"), opt("maxPath"), maxVer,
       tomb = (f \ "tomb") match { case JBool(b) => b; case _ => false },
+      delta = (f \ "delta") match { case JBool(b) => b; case _ => false },
       bytes = (f \ "bytes") match {
         case JInt(v) => v.toLong
         case JLong(v) => v

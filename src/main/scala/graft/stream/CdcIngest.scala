@@ -29,7 +29,8 @@ final class CdcIngest(
     saltBuckets: Int = 0,
     lineage: Option[Lineage] = None,
     maintenance: CdcIngest.Maintenance = CdcIngest.Maintenance(),
-    trigger: Trigger = Trigger.AvailableNow()) {
+    trigger: Trigger = Trigger.AvailableNow(),
+    deferred: Boolean = false) {
 
   val table = new LakeTable(spark, tableRoot)
 
@@ -55,7 +56,15 @@ final class CdcIngest(
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        val st = table.merge(batch, epoch, batchId, saltBuckets)
+        // deferred = merge-on-read ingest (Hudi MOR-table analog): each batch
+        // lands as O(batch) delta files with zero target rewrite, and the
+        // in-loop Maintenance compaction materializes them — pair deferred
+        // ingest with Maintenance(compactAtFiles = …) so read cost stays
+        // bounded (every delta batch adds files, so the file-count trigger
+        // fires naturally)
+        val st =
+          if (deferred) table.mergeDeferred(batch, epoch, batchId, saltBuckets)
+          else table.merge(batch, epoch, batchId, saltBuckets)
         stats = if (maxRetainedStats == Int.MaxValue) st :: stats
                 else st :: stats.take(maxRetainedStats - 1)
         lineage.foreach(_.record(st))
