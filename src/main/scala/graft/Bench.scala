@@ -53,19 +53,25 @@ object BenchUtil {
 
   /** One measured ingest: tiny warmup in-session (codegen/JIT/stream init
     * outside the timer), then the timed full drain; cleans its own dirs.
-    * Returns (events/sec, steal%).
+    * Returns (events/sec, steal%). `deferred` runs the merge-on-read path;
+    * `compactAfter` includes one materializing compaction in the timed
+    * region (the full deferred cost, not just the cheap half).
     */
   def timedIngest(s: SparkSession, work: String, eventsDir: String,
-                  tinyDir: String, n: Long, label: String): (Double, Double) = {
+                  tinyDir: String, n: Long, label: String,
+                  deferred: Boolean = false, maxFiles: Int = 999,
+                  compactAfter: Boolean = false): (Double, Double) = {
     new graft.stream.CdcIngest(s, s"$work/wt-$label", tinyDir,
       s"$work/wcp-$label", epoch = "warm", maxFilesPerTrigger = 999)
       .runToCompletion()
     val (s0, t0n, t0) = (steal(), cpuTotal(), System.nanoTime())
     val ingest = new graft.stream.CdcIngest(
       s, s"$work/table-$label", eventsDir, s"$work/cp-$label",
-      epoch = s"bench-$label", maxFilesPerTrigger = 999, saltBuckets = 0,
-      lineage = Some(new graft.stream.Lineage(s, s"$work/table-$label")))
+      epoch = s"bench-$label", maxFilesPerTrigger = maxFiles, saltBuckets = 0,
+      lineage = Some(new graft.stream.Lineage(s, s"$work/table-$label")),
+      deferred = deferred)
     ingest.runToCompletion()
+    if (compactAfter) ingest.table.compact(targetRowsPerFile = 1000000L)
     val secs = (System.nanoTime() - t0) / 1e9
     val stealPct = 100.0 * (steal() - s0) / math.max(1L, cpuTotal() - t0n)
     Seq(s"wt-$label", s"wcp-$label", s"table-$label", s"cp-$label")
@@ -338,6 +344,37 @@ object Bench {
              extra < sys.env.getOrElse("GRAFT_BENCH_EXTRA", "3").toInt) {
         sweep(Seq(2, 8)); extra += 1
       }
+      // ---- merge-on-read vs copy-on-write under MULTI-BATCH ingest ----
+      // The headline sweeps drain the log in ONE mega-batch (maxFiles=999),
+      // where an initially-empty target gives copy-on-write nothing to
+      // rewrite. Sustained CDC ingest is many batches against ACCUMULATED
+      // state — exactly where copy-on-write pays O(touched files) per batch
+      // and deferred merges pay O(batch). Same 12M-event input, 8 batches of
+      // 8 WAL segments, full host width, same window (back-to-back):
+      //   cow          = merge per batch (rewrites touched files each batch)
+      //   deferred     = mergeDeferred per batch (delta files only)
+      //   deferred_tot = deferred + ONE materializing compaction in the
+      //                  timer (the honest total cost of merge-on-read)
+      var morJson = "null"
+      if (sys.env.getOrElse("GRAFT_BENCH_MOR", "1") == "1") {
+        val s = session(hostCpus)
+        val (cowEps, _) = BenchUtil.timedIngest(
+          s, work, s"$work/events", s"$work/eventsTiny", bigN, "morcow",
+          maxFiles = 8)
+        val (defEps, _) = BenchUtil.timedIngest(
+          s, work, s"$work/events", s"$work/eventsTiny", bigN, "mordef",
+          deferred = true, maxFiles = 8)
+        val (totEps, _) = BenchUtil.timedIngest(
+          s, work, s"$work/events", s"$work/eventsTiny", bigN, "mortot",
+          deferred = true, maxFiles = 8, compactAfter = true)
+        s.stop()
+        System.err.println(
+          f"[bench] mor multibatch: cow=$cowEps%.1f deferred=$defEps%.1f deferred+compact=$totEps%.1f")
+        morJson = f"""{"batches":8,"eps_cow_multibatch":$cowEps%.1f,""" +
+          f""""eps_deferred_ingest":$defEps%.1f,""" +
+          f""""eps_deferred_with_compaction":$totEps%.1f}"""
+      }
+
       def obs(c: Int): Seq[(Double, Double)] = sweeps.filter(_.contains(c)).map(_(c)).toSeq
       def best(c: Int): (Double, Double) = obs(c).maxBy(_._1)
       val (eps2, st2) = best(2); val (eps8, st8) = best(8); val (eps32, st32) = best(32)
@@ -364,6 +401,7 @@ object Bench {
         f""""scaling_efficiency_8_to_32_best":${effs(8, 32).max}%.3f,""" +
         f""""eff_2_8_sweeps":${fmtList(effs(2, 8))},"eff_8_32_sweeps":${fmtList(effs(8, 32))},""" +
         f""""sweeps":$sweepJson,""" +
+        f""""mor":$morJson,""" +
         f""""steal_pct":{"local2":$st2%.1f,"local8":$st8%.1f,"local32":$st32%.1f}}"""
       BenchUtil.rmrf(new java.io.File(work))
       spark = session(cpus) // leave a live session for a clean stop below
