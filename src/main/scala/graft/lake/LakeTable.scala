@@ -340,9 +340,15 @@ final class LakeTable(spark: SparkSession, val root: String,
     // (the feed contract: each changed key appears exactly once) BEFORE the
     // `_ver` filter — the winner is the key's newest row, and if the winner
     // predates the window (base beats an equal-LSN duplicate delta) the key
-    // correctly does not surface. Delta-free windows keep the plain scan.
-    resolveStored(to, added)
-      .filter(col("_ver").isNull || col("_ver") > fromVersion)
+    // correctly does not surface. Delta-free windows keep the plain scan, and
+    // so does a SINGLE-commit window whose adds are all deltas (the deferred
+    // merge already deduped that batch per key — one row per key by
+    // construction, no resolution shuffle needed; this keeps the streaming
+    // feed's version-by-version drain of a deferred ingest cheap).
+    val oneDeferredCommit = toVersion - fromVersion == 1 && added.forall(_.delta)
+    val stored =
+      if (oneDeferredCommit) readStored(to, added) else resolveStored(to, added)
+    stored.filter(col("_ver").isNull || col("_ver") > fromVersion)
   }
 
   /** Apply one micro-batch of change events (EventLog.eventSchema shape).

@@ -192,6 +192,32 @@ class MergeOnReadSpec extends SparkSuite {
     }
   }
 
+  test("readWhere on a delta-pending table: pruned read equals full-scan filter") {
+    val t = freshTable("morPrune")
+    val init = (0 until 300).map(i =>
+      ev(i + 1, "insert", s"r${i % 6}", f"p$i%03d", s"c$i", "scala", s"v$i"))
+    t.merge(batch(init: _*), "e", 0)
+    t.compact(targetRowsPerFile = 60, full = true)
+    t.mergeDeferred(batch(
+      ev(900, "update", "r2", "p008", "cU", "scala", "VU"),
+      ev(901, "delete", "r3", "p009")), "e", 1)
+    assert(t.head().files.exists(_.delta))
+    for (pred <- Seq(
+      col("repo") === "r2",
+      col("repo") === "r2" && col("path") === "p008",
+      col("path") >= "p007" && col("path") <= "p010")) {
+      val pruned = t.readWhere(pred)
+        .select("repo", "path", "content").collect().toSet
+      val full = t.read().filter(pred)
+        .select("repo", "path", "content").collect().toSet
+      assert(pruned === full, s"predicate: $pred")
+    }
+    // the updated row surfaces, the deleted key does not
+    assert(t.readWhere(col("path") === "p008").select("content")
+      .as[String].collect().toSeq === Seq("VU"))
+    assert(t.readWhere(col("path") === "p009").count() === 0)
+  }
+
   test("expireSnapshots collects unreferenced delta files once below the retention floor") {
     val t = freshTable("morGc")
     t.merge(batch(ev(1, "insert", "r1", "a", "c1", "scala", "v1")), "e", 0)
