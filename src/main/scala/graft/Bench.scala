@@ -332,16 +332,19 @@ object Bench {
       }
       // adaptive extras are triggered by a VARIANCE criterion, independent of
       // any pass threshold (sampling-until-pass biases the gate): buy more
-      // observations only while the gate-pair ratios disagree by >40% of
-      // their median — more observations tighten the median either way.
-      // Extras run the GATE PAIR only (2, 8): each extra minute buys a gate
-      // observation instead of re-measuring the hardware-capped upper pair.
+      // observations only while the gate-pair ratios disagree by >25% of
+      // their median — more observations tighten the median either way,
+      // whichever side the noise landed on. (Was 40%; a degraded-window run
+      // whose four base ratios spread 32% apart slipped under the old
+      // trigger with its worst window un-remeasured.) Extras run the GATE
+      // PAIR only (2, 8): each extra minute buys a gate observation instead
+      // of re-measuring the hardware-capped upper pair.
       def spread(xs: Seq[Double]): Double =
         if (xs.isEmpty || median(xs) == 0) 0.0 else (xs.max - xs.min) / median(xs)
-      val spreadTrigger = sys.env.getOrElse("GRAFT_BENCH_SPREAD", "0.4").toDouble
+      val spreadTrigger = sys.env.getOrElse("GRAFT_BENCH_SPREAD", "0.25").toDouble
       var extra = 0
       while (spread(effs(2, 8)) > spreadTrigger &&
-             extra < sys.env.getOrElse("GRAFT_BENCH_EXTRA", "3").toInt) {
+             extra < sys.env.getOrElse("GRAFT_BENCH_EXTRA", "4").toInt) {
         sweep(Seq(2, 8)); extra += 1
       }
       // ---- merge-on-read vs copy-on-write under MULTI-BATCH ingest ----
