@@ -918,6 +918,13 @@ final class LakeTable(spark: SparkSession, val root: String,
     * arrive (e.g. checkpoint high-water mark minus max lateness); newer
     * tombstones are retained for late-duplicate protection.
     *
+    * `zorderBy` re-clusters the rewritten rows on the Morton z-value of the
+    * named columns (typically with `full = true` for a whole-table
+    * re-layout): per-file manifest bounds tighten on EVERY clustered
+    * dimension, so `readWhere` / `format("graft")` predicates on any of
+    * them prune files — see [[ZOrder]]. Row content is untouched; only the
+    * row→file assignment changes.
+    *
     * Concurrency: compaction rewrites row state WITHOUT changing it
     * (`_lsn`/`_ver` pass through as stored), so its output files are valid
     * under ANY base snapshot that still holds every file it read. On a lost
@@ -930,7 +937,8 @@ final class LakeTable(spark: SparkSession, val root: String,
     */
   def compact(targetRowsPerFile: Long = 1000000L,
               tombstoneWatermark: Option[Long] = None,
-              full: Boolean = false): Snapshot = {
+              full: Boolean = false,
+              zorderBy: Seq[String] = Nil): Snapshot = {
     var attempts = 0
     var result: Snapshot = null
     while (result == null) {
@@ -974,11 +982,30 @@ final class LakeTable(spark: SparkSession, val root: String,
         math.max(1, math.min(10000, rewriteRows / math.max(1L, targetRowsPerFile))).toInt
       val newDir = s"${log.dataDir}/compact-v${snap.version + 1}-" +
         java.util.UUID.randomUUID().toString.take(8)
-      kept.repartitionByRange(nParts, col("repo"), col("path"))
-        .sortWithinPartitions("repo", "path")
+      // zorderBy: cluster the rewrite on the Morton z-value of the named
+      // columns instead of lexicographic (repo, path) — every clustered
+      // column's per-file bounds tighten at once, so single-column
+      // predicates on ANY of them prune ([[ZOrder]]). The secondary
+      // within-z sort keeps key point reads tight inside each z-range.
+      // Degenerate sample (no boundaries) falls back to key clustering.
+      val clustered = zorderBy match {
+        case Nil => None
+        case zs => ZOrder.zColumn(kept, zs, rewriteRows).map(z =>
+          kept.withColumn("__z", z)
+            .repartitionByRange(nParts, col("__z"))
+            .sortWithinPartitions(col("__z"), col("repo"), col("path"))
+            .drop("__z"))
+      }
+      clustered.getOrElse(
+        kept.repartitionByRange(nParts, col("repo"), col("path"))
+          .sortWithinPartitions("repo", "path"))
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("_deleted").parquet(newDir)
-      val packed = LakeTable.footerStats(spark, newDir, statColumns = statColumns)
+      // stat the z-order columns too: their tightened per-file bounds are
+      // the whole point (string columns; int64-family leaves are already
+      // auto-statted)
+      val packed = LakeTable.footerStats(spark, newDir,
+        statColumns = (statColumns ++ zorderBy).distinct)
       val removed = rewrite.map(_.path).toSet
       assert(carry.forall(f => !removed.contains(f.path)))
 
