@@ -63,6 +63,7 @@ object SparkEntry {
     "q_ivf_probe_topk"     -> Queries.ivfProbeTopK _,
     "q_lake_write_read"    -> Queries.lakeWriteRead _,
     "q_sql_dml"            -> Queries.sqlDml _,
+    "q_zorder_prune"       -> Queries.zorderPrune _,
     // --- text analysis ---
     "q_token_count"        -> Queries.tokenCountQ _,
     "q_quality_score"      -> Queries.qualityScoreQ _,
@@ -367,6 +368,12 @@ object SparkEntry {
     // write → commit → native read must be lossless; the oracle is the
     // source table itself
     "q_lake_write_read" -> "SELECT doc_id, lang, text FROM documents",
+    // z-order re-layout must not change any row, and the predicate read-back
+    // must equal a plain filter; the query itself hard-asserts that the
+    // manifest actually pruned files (layout regressions fail the run, not
+    // just slow it down)
+    "q_zorder_prune" ->
+      "SELECT doc_id, lang, text FROM documents WHERE lang = 'fr'",
     // SQL DML end-to-end: the oracle replays DELETE → UPDATE → MERGE INTO as
     // pure relational algebra over the source table. `IS DISTINCT FROM`
     // mirrors DELETE's "predicate TRUE deletes" (a NULL lang would survive);
@@ -1141,6 +1148,40 @@ object Queries {
     s.read.format("graft").option("path", root).load()
       .select(col("path").cast("long").as("doc_id"), col("lang"),
         col("content").as("text"))
+  }
+
+  /** Z-order maintenance end-to-end: seed a graft table from `documents`,
+    * re-cluster it with [[graft.lake.LakeTable.compact]]`(zorderBy)` on
+    * (lang, path), then read back through the manifest-pruned
+    * [[graft.lake.LakeTable.readWhere]] path with a `lang` point predicate.
+    * The oracle is the plain filter — the re-layout must not change a single
+    * row — and the query HARD-ASSERTS that planning pruned files (scanned
+    * strictly under 60% of the live files), so a layout or stats regression
+    * fails the driver run instead of silently reverting to full scans.
+    */
+  def zorderPrune(s: SparkSession, d: String): DataFrame = {
+    val root = scratchDir("zorder", d)
+    documents(s, d).select(
+        lit("docs").as("repo"),
+        col("doc_id").cast("string").as("path"),
+        col("lang"),
+        col("text").as("content"))
+      .write.format("graft").mode("overwrite").option("path", root).save()
+    val t = new graft.lake.LakeTable(s, root)
+    val rows = t.head().files.map(_.rows).sum
+    t.compact(targetRowsPerFile = math.max(1L, rows / 24), full = true,
+      zorderBy = Seq("lang", "path"))
+    val live = t.head().files.size
+    val out = t.readWhere(col("lang") === "fr")
+      .select(col("path").cast("long").as("doc_id"), col("lang"),
+        col("content").as("text"))
+    out.collect()
+    val scanned = out.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.map(_.metrics("numFiles").value).sum
+    require(live >= 12 && scanned * 100 < live * 60,
+      s"z-order pruning regressed: scanned $scanned of $live files")
+    out
   }
 
   /** The full SQL DML surface end-to-end against one graft table: seed via
