@@ -96,17 +96,25 @@ object CdcIngest {
     * Compaction/expiry commit through the same snapshot log, so a crash
     * between maintenance and checkpoint is as replay-safe as a merge.
     *
+    * `zorderBy` makes the in-loop compaction also maintain a z-ordered
+    * layout ([[graft.lake.ZOrder]]) on the named columns — ingest keeps
+    * writing key-clustered merge output at full speed, and the periodic
+    * maintenance pass re-clusters the fragmented tail so query-dimension
+    * predicates keep pruning as the table grows (the bin-pack rewrite set
+    * is the same either way; only its sort changes).
+    *
     * @param expireEvery    0 = maintenance off (default)
     */
   final case class Maintenance(
       expireEvery: Int = 0,
       keepSnapshots: Int = 2,
       compactAtFiles: Int = 0,
-      targetRowsPerFile: Long = 1000000L) {
+      targetRowsPerFile: Long = 1000000L,
+      zorderBy: Seq[String] = Nil) {
     def maybeRun(table: LakeTable, batchId: Long): Unit =
       if (expireEvery > 0 && (batchId + 1) % expireEvery == 0) {
         if (compactAtFiles > 0 && table.head().files.size >= compactAtFiles)
-          table.compact(targetRowsPerFile)
+          table.compact(targetRowsPerFile, zorderBy = zorderBy)
         table.expireSnapshots(keepSnapshots)
       }
   }

@@ -85,6 +85,25 @@ class CdcIngestSpec extends SparkSuite {
     assert(in.table.head().files.size < 8, s"files=${in.table.head().files.size}")
   }
 
+  test("in-loop maintenance with zorderBy keeps oracle state and a pruned lang read") {
+    val work = tmpDir("cdcZ")
+    EventLog.write(spark, cfg, s"$work/events", 8)
+    val in = new CdcIngest(spark, s"$work/table", s"$work/events", s"$work/cp",
+      maxFilesPerTrigger = 1,
+      maintenance = CdcIngest.Maintenance(
+        expireEvery = 2, keepSnapshots = 2, compactAtFiles = 2,
+        targetRowsPerFile = 200, zorderBy = Seq("lang")))
+    in.runToCompletion()
+    assertSameTable(in.table.read(), oracle)
+    // the maintenance rewrites statted lang (zorder columns join the stat
+    // set), so a lang point read prunes AND returns exactly the filter rows
+    import org.apache.spark.sql.functions.col
+    assertSameTable(in.table.readWhere(col("lang") === "py"),
+      oracle.filter(col("lang") === "py"))
+    val statted = in.table.head().files.count(_.stats.contains("lang"))
+    assert(statted > 0, "zorder maintenance left no lang-statted files")
+  }
+
   test("recordOp alone advances the periodic lineage flush (op-only workloads)") {
     val root = tmpDir("lineage-oponly")
     val lin = new Lineage(spark, root, flushEvery = 2)
