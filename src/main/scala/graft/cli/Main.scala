@@ -14,6 +14,7 @@ import graft.stream.{CdcIngest, Lineage}
   *   e2e      <workDir> [numEvents]         — generate→ingest→verify vs oracle
   *   show     <tableRoot>                   — print snapshot + sample rows
   *   history  <tableRoot>                   — commit audit log (DESCRIBE HISTORY analog)
+  *   restore  <tableRoot> <version>         — roll back to a retained snapshot (RESTORE analog)
   *   feed     <tableRoot> <checkpointDir> [startingVersion] [maxVersionsPerTrigger]
   *            — drain the committed change feed (graft-changes streaming
   *              source) to the console; re-run with the same checkpoint to
@@ -114,6 +115,14 @@ object Main {
     case "history" :: tableRoot :: _ =>
       val spark = session()
       new LakeTable(spark, tableRoot).history().show(50, truncate = false)
+      spark.stop()
+
+    case "restore" :: tableRoot :: version :: _ =>
+      val spark = session()
+      val t = new LakeTable(spark, tableRoot)
+      val snap = t.restoreTo(version.toLong)
+      println(s"restored $tableRoot to v$version as commit v${snap.version}")
+      t.history().show(10, truncate = false)
       spark.stop()
 
     case "docs" :: _ =>

@@ -51,8 +51,14 @@ final class GraftFileIndex(
     val kept = dataFilters.reduceOption(And) match {
       case Some(pred) =>
         val (strCols, longCols) = table.typedPrunable(snapshot)
-        table.pruneFiles(snapshot, KeyPredicates.extractTyped(pred, strCols, longCols))
+        // bounds first, then the bloom probe layer (same two layers as
+        // readWhere; this index only ever serves DELTA-FREE snapshots —
+        // the provider falls back to the resolved relation otherwise — so
+        // non-key stat pruning is sound here)
+        val afterBounds = table
+          .pruneFiles(snapshot, KeyPredicates.extractTyped(pred, strCols, longCols))
           .filterNot(_.tomb)
+        table.bloomPruneFiles(snapshot, pred, afterBounds, strCols, longCols)
       case None => live
     }
     if (kept.isEmpty) Seq.empty

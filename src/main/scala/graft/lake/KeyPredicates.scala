@@ -170,6 +170,52 @@ private[graft] object KeyPredicates {
     TypedBounds(bounds, lbounds)
   }
 
+  /** Per-column EQUALITY candidate-value sets implied by `pred` — the probe
+    * input for bloom-filter file pruning ([[BloomPrune]]). A bloom answers
+    * only point membership, so unlike [[extractTyped]]'s ranges only `=` and
+    * `IN` conjuncts against literals contribute. Several equality conjuncts
+    * on one column INTERSECT (a row must satisfy all of them); an empty
+    * intersection is a provable contradiction — every file prunes, same as
+    * contradictory bounds. Columns with no equality conjunct are absent
+    * (fail open: no probe).
+    */
+  final case class Equalities(strings: Map[String, Set[String]],
+                              longs: Map[String, Set[Long]]) {
+    def isEmpty: Boolean = strings.isEmpty && longs.isEmpty
+  }
+
+  def extractEqualities(pred: Expression, stringCols: Seq[String],
+                        longCols: Seq[String]): Equalities = {
+    val sWant = stringCols.toSet
+    val lWant = longCols.toSet
+    var s = Map.empty[String, Set[String]]
+    var l = Map.empty[String, Set[Long]]
+    def addS(c: String, vs: Set[String]): Unit =
+      s += c -> s.get(c).map(_ intersect vs).getOrElse(vs)
+    def addL(c: String, vs: Set[Long]): Unit =
+      l += c -> l.get(c).map(_ intersect vs).getOrElse(vs)
+    def visit(e: Expression): Unit = e match {
+      case And(a, b) => visit(a); visit(b)
+      case EqualTo(a, v) => leaf(a, v); leaf(v, a)
+      case In(a, vs) if vs.nonEmpty =>
+        for (c <- nameOf(a).filter(sWant)) {
+          val lits = vs.flatMap(strLit)
+          if (lits.size == vs.size) addS(c, lits.toSet)
+        }
+        for (c <- nameOf(a).filter(lWant)) {
+          val lits = vs.flatMap(longLit)
+          if (lits.size == vs.size) addL(c, lits.toSet)
+        }
+      case _ => () // unknown shape: no probe (fail open)
+    }
+    def leaf(a: Expression, v: Expression): Unit = {
+      for (c <- nameOf(a).filter(sWant); lit <- strLit(v)) addS(c, Set(lit))
+      for (c <- nameOf(a).filter(lWant); lit <- longLit(v)) addL(c, Set(lit))
+    }
+    visit(pred)
+    Equalities(s, l)
+  }
+
   /** Same extraction over data-source `Filter`s (the pre-translated predicate
     * shapes a `PrunedFilteredScan` receives) — the conjunction of `filters`
     * is the predicate; same fail-open contract.

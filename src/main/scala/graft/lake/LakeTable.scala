@@ -18,6 +18,7 @@ final case class MergeStats(
     deletes: Long,
     schemaChanges: Long,
     schemaQuarantined: Long = 0L,
+    constraintQuarantined: Long = 0L,
     noOp: Boolean)
 
 /** Copy-on-write lake table with Iceberg-style semantics, from scratch over
@@ -37,11 +38,30 @@ final case class MergeStats(
   * touched target files — no SQL MERGE needed, every step is a Catalyst plan.
   */
 final class LakeTable(spark: SparkSession, val root: String,
-                      statColumns: Seq[String] = LakeTable.defaultStatColumns) {
+                      statColumns: Seq[String] = LakeTable.defaultStatColumns,
+                      bloomColumns: Seq[String] = Nil) {
   import LakeTable._
 
   val log = new SnapshotLog(spark, root)
   private val keyCols = Seq("repo", "path")
+
+  /** The shared data-file writer: zstd + a parquet-native BLOOM FILTER for
+    * each configured bloom column present in the frame (adaptive sizing —
+    * parquet picks the smallest candidate covering the chunk's actual NDV).
+    * Blooms serve two layers: parquet-mr skips row groups on pushed equality
+    * predicates automatically, and [[BloomPrune]] probes the same filters at
+    * PLANNING time to skip whole files — the layer min/max stats cannot
+    * provide on high-cardinality columns (a uniform hash key spans nearly
+    * the full domain in every file, so range stats never prune it).
+    */
+  private def dataWriter(df: DataFrame) = {
+    val present = df.columns.toSet
+    bloomColumns.filter(present.contains).foldLeft(
+      df.write.mode("overwrite").option("compression", "zstd")
+        .option("parquet.bloom.filter.adaptive.enabled", "true")) {
+      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }.partitionBy("_deleted")
+  }
 
   def create(baseSchema: StructType): Unit = {
     // tryCommit: two racing creators both succeed idempotently (the loser's
@@ -165,8 +185,44 @@ final class LakeTable(spark: SparkSession, val root: String,
       }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(true))
     }
     val (strCols, longCols) = typedPrunable(snap)
-    val bounds = KeyPredicates.extractTyped(cond, strCols, longCols)
-    readAt(snap, pruneFiles(snap, bounds)).filter(predicate)
+    // NON-KEY bounds are unsound while deferred-merge deltas are pending: a
+    // non-key value can differ between a stale delta row and the newer base
+    // row shadowing it, so dropping the base file on a stat bound flips the
+    // per-key winner and surfaces a row the full scan would never return
+    // (DeltaPruneSoundnessSpec). Key columns are immutable per key — every
+    // copy of a candidate key lives in a file whose key box overlaps the
+    // bound, so key pruning can never split a key's copy set. Restrict to
+    // key bounds until compaction materializes the deltas.
+    val (ps, pl) =
+      if (snap.files.exists(_.delta)) (strCols.filter(keyCols.contains), Seq.empty[String])
+      else (strCols, longCols)
+    val bounds = KeyPredicates.extractTyped(cond, ps, pl)
+    val pruned = bloomPruneFiles(snap, cond, pruneFiles(snap, bounds), ps, pl)
+    readAt(snap, pruned).filter(predicate)
+  }
+
+  /** Second pruning layer, shared by [[readWhere]] and the native
+    * `format("graft")` FileIndex: equality literals on columns whose files
+    * ADVERTISE a parquet bloom probe the embedded filters and drop definite
+    * negatives — the high-cardinality point lookups range stats can never
+    * prune. `strCols`/`longCols` carry the caller's (already delta-safe)
+    * prunable column sets.
+    */
+  private[lake] def bloomPruneFiles(
+      snap: Snapshot, cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      candidates: Seq[DataFileEntry],
+      strCols: Seq[String], longCols: Seq[String]): Seq[DataFileEntry] = {
+    val byName = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val advertised = snap.files.iterator.flatMap(_.bloomCols).toSet
+    val bloomStr = strCols.filter(c => advertised.contains(c) &&
+      byName.get(c).contains(StringType))
+    val bloomLong = longCols.filter(c => advertised.contains(c) && (byName.get(c) match {
+      case Some(LongType) | Some(IntegerType) | Some(TimestampType) => true
+      case _ => false
+    }))
+    if (bloomStr.isEmpty && bloomLong.isEmpty) candidates
+    else BloomPrune.prune(spark, candidates,
+      KeyPredicates.extractEqualities(cond, bloomStr, bloomLong))
   }
 
   /** Columns with manifest-level min/max stats usable for file pruning: the
@@ -251,6 +307,136 @@ final class LakeTable(spark: SparkSession, val root: String,
       col("tombstoneFiles").as("tombstone_files"), col("maxLsn").as("max_lsn"))
   }
 
+  /** Add a named CHECK constraint (the Delta `ADD CONSTRAINT` analog):
+    * `check` is any SQL boolean expression over the table's columns. The
+    * commit is rejected unless every EXISTING live row satisfies it (one
+    * validation scan, same contract as Delta). From then on every write path
+    * (merge / append / SQL DML — they all funnel through the merge)
+    * QUARANTINES violating upsert rows instead of failing the stream or
+    * storing them ([[enforceConstraints]]): SQL CHECK semantics, a row
+    * violates only when the expression evaluates to exactly FALSE (NULL
+    * passes); delete events are exempt (their value columns are null by
+    * construction). Constraints live in the snapshot, so time travel and
+    * [[restoreTo]] carry them with the rest of the state.
+    */
+  def addConstraint(name: String, check: String): Snapshot = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"bad constraint name: '$name'")
+    var result: Snapshot = null
+    var attempts = 0
+    while (result == null) {
+      val snap = head()
+      require(!snap.constraints.contains(name), s"constraint '$name' already exists")
+      val bad = readAt(snap).filter(expr(check) <=> lit(false)).limit(1).count()
+      require(bad == 0L, s"cannot add CHECK '$name': existing rows violate ($check)")
+      val next = snap.copy(version = snap.version + 1, parent = snap.version,
+        operation = s"addConstraint($name)",
+        constraints = snap.constraints + (name -> check))
+      if (log.tryCommit(next)) result = next
+      else {
+        attempts += 1
+        if (attempts >= 8) throw new IllegalStateException(
+          s"addConstraint lost $attempts commit races; giving up")
+      }
+    }
+    result
+  }
+
+  /** Remove a named CHECK constraint. */
+  def dropConstraint(name: String): Snapshot = {
+    var result: Snapshot = null
+    var attempts = 0
+    while (result == null) {
+      val snap = head()
+      require(snap.constraints.contains(name), s"no such constraint: '$name'")
+      val next = snap.copy(version = snap.version + 1, parent = snap.version,
+        operation = s"dropConstraint($name)",
+        constraints = snap.constraints - name)
+      if (log.tryCommit(next)) result = next
+      else {
+        attempts += 1
+        if (attempts >= 8) throw new IllegalStateException(
+          s"dropConstraint lost $attempts commit races; giving up")
+      }
+    }
+    result
+  }
+
+  /** CHECK-constraint enforcement over a batch's storage-projected source
+    * rows ([[addConstraint]]): violating UPSERT rows are quarantined —
+    * written next to the table for inspection, counted into
+    * `MergeStats.constraintQuarantined`, logged loudly — never a stream
+    * failure (the batch would redeliver forever), never a silent drop.
+    * Zero cost when the snapshot has no constraints. The delivery counters
+    * (eventsSeen/upserts/deletes) describe the batch AS DELIVERED;
+    * `constraintQuarantined` records what enforcement then removed.
+    */
+  private def enforceConstraints(snap: Snapshot, evolvedSchema: StructType,
+                                 src: DataFrame, batchId: Long): (DataFrame, Long) = {
+    if (snap.constraints.isEmpty) return (src, 0L)
+    val violates = snap.constraints.values.toSeq
+      .map(s => expr(s) <=> lit(false)).reduce(_ || _) && !col("_deleted")
+    val bad = src.filter(violates)
+    val n = bad.count()
+    if (n > 0) {
+      val dir = s"$root/quarantine/constraints-v${snap.version + 1}-b$batchId-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      bad.select((evolvedSchema.fieldNames.toSeq :+ "_lsn").map(col): _*)
+        .write.mode("overwrite").parquet(dir)
+      System.err.println(s"[lake] QUARANTINED $n rows violating CHECK " +
+        s"(${snap.constraints.keys.mkString(", ")}) -> $dir")
+    }
+    (src.filter(!violates), n)
+  }
+
+  /** Roll the table back to `version` (the Delta `RESTORE` analog): a
+    * METADATA-ONLY commit that re-points HEAD at the target snapshot's entire
+    * state — data files (by reference, zero data I/O), schema,
+    * schema-evolution lineage (`addedAtLsn`/`widenedAt`), `maxLsn`, and the
+    * idempotence ledger. Afterwards the table behaves exactly as it did at
+    * `version`: batches applied after it are forgotten by the ledger and
+    * re-apply if redelivered (rewind-and-reprocess is the point of restore),
+    * and later merges evolve forward from the restored state.
+    *
+    * The target must still be retained ([[expireSnapshots]]). GC safety: the
+    * new HEAD re-references the restored files, and [[expireSnapshots]] keeps
+    * every file referenced by a retained snapshot regardless of how old its
+    * original commit dir is — so a restore never races GC into dangling refs.
+    *
+    * Change-feed contract: restored rows keep their ORIGINAL `_ver` stamps,
+    * so a [[changesBetween]] window crossing a restore commit cannot use the
+    * `_ver` fast path — it falls back to an exact two-state diff
+    * ([[stateDiff]]), O(both states) instead of O(delta), paid only by
+    * consumers whose window spans the restore.
+    *
+    * Concurrency: on a lost commit race the restore retries against the new
+    * HEAD — the caller asked for state-as-of-`version`, so a concurrently
+    * landed commit is deliberately superseded (logged loudly, bounded tries).
+    */
+  def restoreTo(version: Long): Snapshot = {
+    var result: Snapshot = null
+    var attempts = 0
+    while (result == null) {
+      val snap = head()
+      require(version <= snap.version,
+        s"cannot restore to v$version: head is v${snap.version}")
+      if (version == snap.version) return snap
+      val target = log.read(version)
+      val next = target.copy(
+        version = snap.version + 1,
+        parent = snap.version,
+        operation = s"restore(v$version)")
+      if (log.tryCommit(next)) result = next
+      else {
+        attempts += 1
+        if (attempts >= 8) throw new IllegalStateException(
+          s"restore lost $attempts commit races; giving up")
+        System.err.println(
+          s"[lake] restore to v$version lost a commit race; retrying against the new head")
+      }
+    }
+    result
+  }
+
   private def readAt(snap: Snapshot): DataFrame =
     readAt(snap, snap.files)
 
@@ -320,6 +506,16 @@ final class LakeTable(spark: SparkSession, val root: String,
     require(fromVersion <= toVersion, s"$fromVersion > $toVersion")
     val from = log.read(fromVersion)
     val to = log.read(toVersion)
+    // A restore commit inside the window invalidates the `_ver` fast path:
+    // the rows it (re)exposed carry their ORIGINAL commit versions, so the
+    // manifest-diff + `_ver > from` scan below would silently miss them (and
+    // keys whose post-`version` additions the restore erased would never get
+    // tombstones). Detect it from commit metadata — O(window) tiny JSON
+    // header reads, no data I/O; the streaming source drains one or two
+    // versions per window — and fall back to the exact two-state diff.
+    val crossesRestore = (fromVersion + 1 to toVersion)
+      .exists(v => log.describe(v).operation.startsWith("restore"))
+    if (crossesRestore) return stateDiff(from, to, toVersion)
     val old = from.files.map(_.path).toSet
     // FILE-level pruning first: a file whose footer-stat maxVer is at or
     // below fromVersion holds only carried rows — skip it at planning time
@@ -349,6 +545,61 @@ final class LakeTable(spark: SparkSession, val root: String,
     val stored =
       if (oneDeferredCommit) readStored(to, added) else resolveStored(to, added)
     stored.filter(col("_ver").isNull || col("_ver") > fromVersion)
+  }
+
+  /** Exact NET change between two snapshot STATES — the [[changesBetween]]
+    * fallback for windows crossing a [[restoreTo]] commit, where `_ver`
+    * stamps cannot identify what changed. Same output contract: storage-
+    * schema rows of `to`, each key whose resolved state differs appearing
+    * exactly once with its final state. A key live in `from` but entirely
+    * absent from `to` (the restore erased rows that had no tombstone at the
+    * target version) surfaces as a SYNTHESIZED tombstone carrying the `from`
+    * row's `_lsn` and null value columns — exactly what a stored tombstone
+    * for it would hold. Both-sides-deleted (or both-absent) keys emit
+    * nothing: there is no net change to deliver.
+    *
+    * `_ver` attribution: a row whose stored `_ver` postdates the window
+    * start keeps it (a real post-`from` write); a row the restore re-exposed
+    * carries the window-end version — the restore commit is what made it
+    * current (Delta CDF attributes restore-surfaced rows to the restore
+    * commit the same way).
+    *
+    * Cost: one shuffle of both resolved states on the key columns — paid
+    * only when the window spans a restore; all other windows keep the
+    * manifest-diff + pushed-`_ver` incremental scan.
+    */
+  private def stateDiff(from: Snapshot, to: Snapshot, toVersion: Long): DataFrame = {
+    val st = storageSchema(to)
+    val toS = resolveStored(to, to.files)
+    val fromS = resolveStored(from, from.files).select(
+      keyCols.map(col) ++
+        Seq(col("_lsn").as("__f_lsn"), col("_deleted").as("__f_del")): _*)
+    val j = toS.join(fromS, keyCols, "full_outer")
+    val toPresent = col("_lsn").isNotNull
+    val fromLive = col("__f_lsn").isNotNull && !col("__f_del")
+    val changed =
+      // to-side live and the from-side winner was absent, deleted, or a
+      // different event → deliver the final row
+      (toPresent && !col("_deleted") &&
+        (col("__f_lsn").isNull || col("__f_del") || col("_lsn") =!= col("__f_lsn"))) ||
+      // to-side tombstone over a previously-live key → deliver the delete
+      (toPresent && col("_deleted") && fromLive) ||
+      // previously-live key with no stored row at all in `to` → synthesize
+      (!toPresent && fromLive)
+    val out = st.fields.toSeq.map { f =>
+      f.name match {
+        case k if keyCols.contains(k) => col(k)
+        case "_lsn" => coalesce(col("_lsn"), col("__f_lsn")).as("_lsn")
+        case "_deleted" =>
+          when(toPresent, col("_deleted")).otherwise(lit(true)).as("_deleted")
+        case "_ver" =>
+          when(col("_ver").isNotNull && col("_ver") > lit(from.version), col("_ver"))
+            .otherwise(lit(toVersion)).as("_ver")
+        case other =>
+          when(toPresent, col(other)).otherwise(lit(null).cast(f.dataType)).as(other)
+      }
+    }
+    j.filter(changed).select(out: _*)
   }
 
   /** Apply one micro-batch of change events (EventLog.eventSchema shape).
@@ -493,12 +744,14 @@ final class LakeTable(spark: SparkSession, val root: String,
       else Salting.dedupSalted(data, keyCols, Seq(col("lsn"), col("event_id")),
         if (saltBuckets == -1) 0 else saltBuckets)
 
-    val src = changes.select(
+    val src0 = changes.select(
       storageProjection(evo.schema, evo.addedAt, evo.widened) ++ Seq(
         col("lsn").as("_lsn"),
         (col("op") === "delete").as("_deleted"),
         lit(snap.version + 1).as("_ver"),
         col("event_id").as("__tie")): _*)
+    val (src, constraintQuarantined) =
+      enforceConstraints(snap, evo.schema, src0, batchId)
 
     // batch-local dedup in ONE range shuffle; the delta files come out
     // range-clustered by key, so their manifest bounding boxes stay tight —
@@ -514,9 +767,7 @@ final class LakeTable(spark: SparkSession, val root: String,
 
     val newDir = s"${log.dataDir}/delta-v${snap.version + 1}-b$batchId-" +
       java.util.UUID.randomUUID().toString.take(8)
-    timed("delta-write")(winners
-      .write.mode("overwrite").option("compression", "zstd")
-      .partitionBy("_deleted").parquet(newDir))
+    timed("delta-write")(dataWriter(winners).parquet(newDir))
     val newFiles = timed("footer-stats")(
       LakeTable.footerStats(spark, newDir, statColumns = statColumns)
         .map(_.copy(delta = true)))
@@ -530,7 +781,8 @@ final class LakeTable(spark: SparkSession, val root: String,
       parent = snap.version,
       maxLsn = math.max(snap.maxLsn, batchMaxLsn),
       widenedAt = evo.widened,
-      operation = operation)
+      operation = operation,
+      constraints = snap.constraints)
     if (!log.tryCommit(next)) return None
 
     Some(MergeStats(epoch, batchId, next.version,
@@ -540,6 +792,7 @@ final class LakeTable(spark: SparkSession, val root: String,
       deletes = deleteWinners,
       schemaChanges = evo.applied,
       schemaQuarantined = evo.quarantined,
+      constraintQuarantined = constraintQuarantined,
       noOp = false))
   }
 
@@ -721,13 +974,15 @@ final class LakeTable(spark: SparkSession, val root: String,
     // strictly changes the key's state — the winner's own _ver is therefore
     // exactly "version of last modification" with no extra comparison, and a
     // re-delivered duplicate keeps the old _ver (no spurious change-feed row).
-    val src = changes.select(srcCols ++ Seq(
+    val src0 = changes.select(srcCols ++ Seq(
       col("lsn").as("_lsn"),
       (col("op") === "delete").as("_deleted"),
       lit(snap.version + 1).as("_ver"),
       col("event_id").as("__tie"),
       lit(-1L).as("__pref"),
       lit(false).as("__isTarget")): _*)
+    val (src, constraintQuarantined) =
+      enforceConstraints(snap, evolved.schema, src0, batchId)
 
     // ---- file pruning: touch only files whose (repo, path) bounding box
     // meets a batch key. A broadcast interval index probed map-side per
@@ -779,9 +1034,7 @@ final class LakeTable(spark: SparkSession, val root: String,
     // unreferenced orphan that expireSnapshots' GC removes. ----
     val newDir = s"${log.dataDir}/v${snap.version + 1}-b$batchId-" +
       java.util.UUID.randomUUID().toString.take(8)
-    timed("merge-write")(merged
-      .write.mode("overwrite").option("compression", "zstd")
-      .partitionBy("_deleted").parquet(newDir))
+    timed("merge-write")(dataWriter(merged).parquet(newDir))
 
     val newFiles = timed("footer-stats")(LakeTable.footerStats(spark, newDir, statColumns = statColumns))
 
@@ -794,7 +1047,8 @@ final class LakeTable(spark: SparkSession, val root: String,
       parent = snap.version,
       maxLsn = math.max(snap.maxLsn, batchMaxLsn),
       widenedAt = widened,
-      operation = operation)
+      operation = operation,
+      constraints = snap.constraints)
     if (!log.tryCommit(next)) return None // lost the race: caller recomputes
 
     Some(MergeStats(epoch, batchId, next.version,
@@ -804,6 +1058,7 @@ final class LakeTable(spark: SparkSession, val root: String,
       deletes = deleteWinners,
       schemaChanges = scApplied,
       schemaQuarantined = scQuarantined,
+      constraintQuarantined = constraintQuarantined,
       noOp = false))
   }
 
@@ -996,11 +1251,10 @@ final class LakeTable(spark: SparkSession, val root: String,
             .sortWithinPartitions(col("__z"), col("repo"), col("path"))
             .drop("__z"))
       }
-      clustered.getOrElse(
+      dataWriter(clustered.getOrElse(
         kept.repartitionByRange(nParts, col("repo"), col("path"))
-          .sortWithinPartitions("repo", "path"))
-        .write.mode("overwrite").option("compression", "zstd")
-        .partitionBy("_deleted").parquet(newDir)
+          .sortWithinPartitions("repo", "path")))
+        .parquet(newDir)
       // stat the z-order columns too: their tightened per-file bounds are
       // the whole point (string columns; int64-family leaves are already
       // auto-statted)
@@ -1297,9 +1551,17 @@ object LakeTable {
             case b => Some(c -> b)
           }
         }.toMap
+        // bloom ADVERTISEMENT: columns with a parquet bloom filter in at
+        // least one row group, recorded in the manifest so readers probe
+        // only files that actually carry one (no wasted footer reads on
+        // tables written without blooms). Absence in any one row group is
+        // handled at probe time (that group fails open).
+        val bloomed = physByCol.keysIterator.filter(!_.contains(".")).toSeq.sorted
+          .filter(c => blocks.exists(_.getColumns.asScala.exists(cc =>
+            cc.getPath.toDotString == c && cc.getBloomFilterOffset >= 0)))
         Some(DataFileEntry(path, rows, minR, maxR, minP, maxP,
           longColumnMax(blocks, "_ver"), tomb = tomb, bytes = bytes,
-          stats = secondary, longStats = secondaryLong))
+          stats = secondary, longStats = secondaryLong, bloomCols = bloomed))
       }
     } finally reader.close()
   }

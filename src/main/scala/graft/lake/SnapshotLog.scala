@@ -65,7 +65,8 @@ final case class Snapshot(
     parent: Long,
     maxLsn: Long = -1L,
     widenedAt: Map[String, (Long, String)] = Map.empty,
-    operation: String = "")
+    operation: String = "",
+    constraints: Map[String, String] = Map.empty)
 
 /** One line of [[SnapshotLog.history]]: a commit's audit header, read from
   * the snapshot JSON alone — no manifest loads, no data I/O. Size aggregates
@@ -104,7 +105,8 @@ final case class DataFileEntry(
     bytes: Long = 0L,
     stats: Map[String, (Option[String], Option[String])] = Map.empty,
     longStats: Map[String, (Option[Long], Option[Long])] = Map.empty,
-    delta: Boolean = false) {
+    delta: Boolean = false,
+    bloomCols: Seq[String] = Nil) {
   /** Min/max bound of `column`, unified over the key columns' dedicated
     * fields and the secondary stats map; (None, None) = unknown (fail open).
     */
@@ -375,7 +377,8 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     ("stats" -> f.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
       ("col" -> c) ~ ("min" -> mn) ~ ("max" -> mx) }) ~
     ("longStats" -> f.longStats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-      ("col" -> c) ~ ("min" -> mn) ~ ("max" -> mx) })
+      ("col" -> c) ~ ("min" -> mn) ~ ("max" -> mx) }) ~
+    ("bloomCols" -> f.bloomCols.toList)
 
   private def parseEntry(f: JValue): DataFileEntry = {
     implicit val fmt: Formats = DefaultFormats
@@ -417,6 +420,10 @@ final class SnapshotLog(spark: SparkSession, root: String) {
           (s \ "col").extract[String] -> ((side("min"), side("max")))
         }.toMap
         case _ => Map.empty // pre-longStats manifests: unknown, fail open
+      },
+      bloomCols = (f \ "bloomCols") match {
+        case JArray(cs) => cs.collect { case JString(c) => c }
+        case _ => Nil // pre-bloom manifests: no blooms advertised
       })
   }
 
@@ -441,6 +448,7 @@ final class SnapshotLog(spark: SparkSession, root: String) {
         ("epoch" -> e) ~ ("batchId" -> b) }) ~
       ("widenedAt" -> s.widenedAt.toSeq.sortBy(_._1).map { case (n, (l, f)) =>
         ("name" -> n) ~ ("lsn" -> l) ~ ("from" -> f) }) ~
+      ("constraints" -> s.constraints) ~
       ("manifests" -> manifests)
     JsonMethods.compact(JsonMethods.render(json))
   }
@@ -475,6 +483,10 @@ final class SnapshotLog(spark: SparkSession, root: String) {
       operation = (j \ "operation") match {
         case JString(s) => s
         case _ => "" // pre-audit-header snapshots
+      },
+      constraints = (j \ "constraints") match {
+        case o: JObject => o.extract[Map[String, String]]
+        case _ => Map.empty // pre-constraint snapshots
       })
   }
 
