@@ -39,6 +39,9 @@ object SparkEntry {
     "q_change_feed_stream" -> Queries.changeFeedStream _,
     "q_change_rates"       -> Queries.changeRatesQ _,
     "q_stream_dedup"       -> Queries.streamDedupQ _,
+    "q_restore"            -> Queries.restoreState _,
+    "q_restore_feed"       -> Queries.restoreFeed _,
+    "q_check_constraint"   -> Queries.checkConstraintQ _,
     // --- Borderlands domain parity (SURVEY §2.2 P*, §2.3 J1/J2, §2.7 U2,
     // §2.8 F17/F19) ---
     "q_status_extract"     -> Queries.statusExtract _,
@@ -61,9 +64,11 @@ object SparkEntry {
     "q_ann_lsh_topk"       -> Queries.annLshTopK _,
     "q_ivf_topk"           -> Queries.ivfTopK _,
     "q_ivf_probe_topk"     -> Queries.ivfProbeTopK _,
+    "q_pq_topk"            -> Queries.pqTopKQ _,
     "q_lake_write_read"    -> Queries.lakeWriteRead _,
     "q_sql_dml"            -> Queries.sqlDml _,
     "q_zorder_prune"       -> Queries.zorderPrune _,
+    "q_bloom_prune"        -> Queries.bloomPrune _,
     // --- text analysis ---
     "q_token_count"        -> Queries.tokenCountQ _,
     "q_quality_score"      -> Queries.qualityScoreQ _,
@@ -193,6 +198,19 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
          |LEFT JOIN canon c ON d.doc_id = c.doc_id
          |WHERE c.doc_id IS NULL OR c.doc_id = c.canonical_id""".stripMargin,
+    // PQ + exact rerank must reproduce the brute-force ranking exactly (the
+    // in-query recall require() already proved the shortlist was honest)
+    "q_pq_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS nbr_id, list_transform(embedding, x -> x::DOUBLE) AS cv
+        |      FROM embeddings)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, nbr_id) AS rank,
+        |  nbr_id, round(list_cosine_similarity(qv, cv), 6) AS cosine
+        |FROM q, c WHERE query_id <> nbr_id
+        |QUALIFY rank <= 5""".stripMargin,
     "q_embedding_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
         |           FROM embeddings WHERE vec_id < 20),
@@ -252,6 +270,75 @@ object SparkEntry {
         |  (1 + doc_id % 8)::INT AS n_frames,
         |  (16 + ((16 + doc_id % 64) * (16 + doc_id % 48) // 8) * (1 + doc_id % 8))::BIGINT AS n_bytes
         |FROM documents""".stripMargin,
+    // CHECK constraint: violating inserts are quarantined, so the oracle is
+    // last-wins over the log with them REMOVED (deletes exempt)
+    "q_check_constraint" ->
+      """WITH mapped AS (
+        |  SELECT 'r' || CAST(user_id % 25 AS VARCHAR) AS repo,
+        |    'p' || CAST(user_id AS VARCHAR) AS path,
+        |    event_id,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+        |    CAST(event_id AS VARCHAR) AS last_commit,
+        |    event_type AS lang, props AS content
+        |  FROM events
+        |  WHERE event_type = 'error' OR event_id % 7 <> 3)
+        |SELECT repo, path, last_commit, lang, content_sha FROM (
+        |  SELECT repo, path, last_commit, lang, op, sha256(content) AS content_sha,
+        |    row_number() OVER (PARTITION BY repo, path ORDER BY event_id DESC) AS rn
+        |  FROM mapped)
+        |WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+    // RESTORE: the rolled-back middle batch must leave no trace — the final
+    // state is last-LSN-wins over the surviving event subset only
+    "q_restore" ->
+      """WITH mapped AS (
+        |  SELECT 'r' || CAST(user_id % 25 AS VARCHAR) AS repo,
+        |    'p' || CAST(user_id AS VARCHAR) AS path,
+        |    event_id,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+        |    CAST(event_id AS VARCHAR) AS last_commit,
+        |    event_type AS lang, props AS content
+        |  FROM events WHERE event_id % 3 <> 1)
+        |SELECT repo, path, last_commit, lang, content_sha FROM (
+        |  SELECT repo, path, last_commit, lang, op, sha256(content) AS content_sha,
+        |    row_number() OVER (PARTITION BY repo, path ORDER BY event_id DESC) AS rn
+        |  FROM mapped)
+        |WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+    // change feed across the restore = exact two-state diff: from-state is
+    // last-wins over batches {0,1} (the pre-restore head), to-state over
+    // {0,2} (restored + final merge); emit final rows for keys whose winner
+    // changed, tombstones for keys deleted or restored away (the engine
+    // synthesizes a tombstone carrying the from-row's lsn when the restored
+    // state holds no row at all), nothing for unchanged keys
+    "q_restore_feed" ->
+      """WITH mapped AS (
+        |  SELECT 'r' || CAST(user_id % 25 AS VARCHAR) AS repo,
+        |    'p' || CAST(user_id AS VARCHAR) AS path,
+        |    event_id,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+        |    props AS content
+        |  FROM events),
+        |f AS (SELECT * FROM (
+        |  SELECT repo, path, event_id, op,
+        |    row_number() OVER (PARTITION BY repo, path ORDER BY event_id DESC) AS rn
+        |  FROM mapped WHERE event_id % 3 <> 2) WHERE rn = 1),
+        |t AS (SELECT * FROM (
+        |  SELECT repo, path, event_id, op, content,
+        |    row_number() OVER (PARTITION BY repo, path ORDER BY event_id DESC) AS rn
+        |  FROM mapped WHERE event_id % 3 <> 1) WHERE rn = 1)
+        |SELECT
+        |  coalesce(t.repo, f.repo) AS repo,
+        |  coalesce(t.path, f.path) AS path,
+        |  CASE WHEN t.repo IS NOT NULL THEN t.event_id ELSE f.event_id END AS last_lsn,
+        |  (t.repo IS NULL OR t.op = 'delete') AS deleted,
+        |  CASE WHEN t.repo IS NOT NULL AND t.op <> 'delete'
+        |    THEN sha256(t.content) END AS content_sha
+        |FROM t FULL OUTER JOIN f ON t.repo = f.repo AND t.path = f.path
+        |WHERE
+        |  (t.repo IS NOT NULL AND t.op <> 'delete' AND
+        |    (f.repo IS NULL OR f.op = 'delete' OR t.event_id <> f.event_id))
+        |  OR (t.repo IS NOT NULL AND t.op = 'delete'
+        |      AND f.repo IS NOT NULL AND f.op <> 'delete')
+        |  OR (t.repo IS NULL AND f.repo IS NOT NULL AND f.op <> 'delete')""".stripMargin,
     "q_cdc_engine_e2e" ->
       """WITH mapped AS (
         |  SELECT 'r' || CAST(user_id % 25 AS VARCHAR) AS repo,
@@ -374,6 +461,11 @@ object SparkEntry {
     // just slow it down)
     "q_zorder_prune" ->
       "SELECT doc_id, lang, text FROM documents WHERE lang = 'fr'",
+    // bloom point lookup: results must equal the plain subquery filter (the
+    // in-query require() already proved the probe pruned the scan)
+    "q_bloom_prune" ->
+      """SELECT doc_id, lang, sha256(text) AS text_sha FROM documents
+        |WHERE sha256(text) = (SELECT sha256(text) FROM documents WHERE doc_id = 100)""".stripMargin,
     // SQL DML end-to-end: the oracle replays DELETE → UPDATE → MERGE INTO as
     // pure relational algebra over the source table. `IS DISTINCT FROM`
     // mirrors DELETE's "predicate TRUE deletes" (a NULL lang would survive);
@@ -792,10 +884,12 @@ object Queries {
     * streaming ingest in a fresh scratch table; shared by the engine-e2e and
     * change-feed queries.
     */
-  private def stageAndIngest(s: SparkSession, d: String, kind: String,
-                             deferred: Boolean = false): graft.lake.LakeTable = {
-    val work = scratchDir(kind, d)
-    val log = events(s, d).select(
+  /** The sf events table mapped to the change-event schema — the shared
+    * "events play a change log" encoding every CDC-engine query (and its
+    * DuckDB oracle's `mapped` CTE) uses.
+    */
+  private def mappedChangeLog(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
       col("event_id").as("lsn"),
       col("event_id"),
       col("ts"),
@@ -807,6 +901,11 @@ object Queries {
       col("props").as("content"),
       lit(null).cast("string").as("schema_change"),
       lit(null).cast("string").as("extra"))
+
+  private def stageAndIngest(s: SparkSession, d: String, kind: String,
+                             deferred: Boolean = false): graft.lake.LakeTable = {
+    val work = scratchDir(kind, d)
+    val log = mappedChangeLog(s, d)
     log.repartition(8).write.parquet(s"$work/events")
     val ingest = new graft.stream.CdcIngest(
       s, s"$work/table", s"$work/events", s"$work/cp", maxFilesPerTrigger = 2,
@@ -934,6 +1033,86 @@ object Queries {
     val out = s.table(sink).localCheckpoint() // detach from the view
     s.catalog.dropTempView(sink)
     out.withColumnRenamed("lsn", "first_lsn")
+  }
+
+  /** RESTORE rollback seeded from the sf events, shared by q_restore and
+    * q_restore_feed (memoized like the feed ingest — the restore is the
+    * subject, not the seeding): three lsn-disjoint batches
+    * (event_id % 3 = 0 / 1 / 2) merge in order, the table restores to the
+    * after-batch-0 version (undoing batch 1, metadata-only), then batch 2
+    * merges on top. Returns (table, pre-restore head, final head) — the
+    * pre-restore head is the change-feed window start that forces the feed
+    * across the restore boundary.
+    */
+  private val restoreMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (graft.lake.LakeTable, Long, Long)]]()
+  private def restoredIngest(s: SparkSession, d: String): (graft.lake.LakeTable, Long, Long) =
+    restoreMemo.synchronized {
+      restoreMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(d, {
+          val work = scratchDir("restoreq", d)
+          val t = new graft.lake.LakeTable(s, s"$work/table")
+          t.create(graft.lake.LakeTable.baseSchema)
+          val log = mappedChangeLog(s, d).localCheckpoint()
+          t.merge(log.filter(col("lsn") % 3 === 0), "restoreq", 0)
+          val vTarget = t.head().version
+          t.merge(log.filter(col("lsn") % 3 === 1), "restoreq", 1)
+          val vFrom = t.head().version
+          t.restoreTo(vTarget)
+          t.merge(log.filter(col("lsn") % 3 === 2), "restoreq", 2)
+          (t, vFrom, t.head().version)
+        })
+    }
+
+  /** CHECK-constraint enforcement end-to-end: the table carries a CHECK on
+    * the commit column, the mapped change log merges in two batches, and
+    * every violating UPSERT is quarantined — the final state equals
+    * last-LSN-wins over the log WITH THE VIOLATING INSERTS REMOVED (a
+    * quarantined winner exposes the key's older surviving event, exactly as
+    * the SQL oracle's filtered replay does; deletes are exempt per SQL CHECK
+    * semantics). The query hard-asserts that quarantine actually fired.
+    */
+  def checkConstraintQ(s: SparkSession, d: String): DataFrame = {
+    val work = scratchDir("checkq", d)
+    val t = new graft.lake.LakeTable(s, s"$work/table")
+    t.create(graft.lake.LakeTable.baseSchema)
+    t.addConstraint("commit-shape", "CAST(commit AS BIGINT) % 7 <> 3")
+    val log = mappedChangeLog(s, d).localCheckpoint()
+    val s1 = t.merge(log.filter(col("lsn") % 2 === 0), "checkq", 0)
+    val s2 = t.merge(log.filter(col("lsn") % 2 === 1), "checkq", 1)
+    require(s1.constraintQuarantined + s2.constraintQuarantined > 0,
+      "constraint quarantine never fired — the check is not enforcing")
+    t.read().select(col("repo"), col("path"), col("commit").as("last_commit"),
+      col("lang"), sha2(col("content"), 256).as("content_sha"))
+  }
+
+  /** RESTORE end state: after rolling back the middle batch and merging the
+    * last one, the live table must equal last-LSN-wins over batches 0 and 2
+    * only — the restored-away batch leaves no trace. The restore itself is a
+    * metadata-only commit (files re-referenced); the oracle is plain SQL
+    * over the surviving event subset.
+    */
+  def restoreState(s: SparkSession, d: String): DataFrame = {
+    val (t, _, _) = restoredIngest(s, d)
+    t.read().select(col("repo"), col("path"), col("commit").as("last_commit"),
+      col("lang"), sha2(col("content"), 256).as("content_sha"))
+  }
+
+  /** Change feed ACROSS the restore: the window starts at the pre-restore
+    * head, so `_ver` stamps cannot identify the delta and the feed falls
+    * back to the exact two-state diff (LakeTable.stateDiff) — re-exposed old
+    * rows, un-deleted keys, synthesized tombstones for restored-away
+    * inserts, post-restore merges, unchanged keys silent. Oracle: the same
+    * diff in SQL over two last-wins CTEs (state at the pre-restore head vs
+    * the final state).
+    */
+  def restoreFeed(s: SparkSession, d: String): DataFrame = {
+    val (t, vFrom, vTo) = restoredIngest(s, d)
+    t.changesBetween(vFrom, vTo)
+      .select(col("repo"), col("path"), col("_lsn").as("last_lsn"),
+        col("_deleted").as("deleted"),
+        sha2(col("content"), 256).as("content_sha"))
   }
 
   /** F5: sha256 row keying (reference oryx.py:253-267) via built-in sha2 —
@@ -1114,6 +1293,37 @@ object Queries {
       "embedding", "vec_id", k = 5)
   }
 
+  /** Product-quantization ANN with exact rerank: the corpus encodes to m=16
+    * codes per vector (the ADC pass scans 16 small ints instead of 64
+    * floats), ADC shortlists 160 candidates per query from the code scan
+    * alone, and the exact rounded-cosine rerank restores the brute-force
+    * ranking. The sf embeddings are near-random (the hardest case for PQ —
+    * no cluster structure to exploit), so the code budget is sized for it:
+    * 16 × log2(64) = 96 bits/vector, measured 0-miss at shortlist 128 at
+    * both sf0.01 and sf0.1 (160 adds margin). The oracle is the SAME
+    * brute-force SQL as q_embedding_topk — PQ must reproduce it exactly —
+    * and the query HARD-ASSERTS the recall contract in-run (a shortlist
+    * regression fails the driver run loudly instead of hashing differently)
+    * plus non-degeneracy (the shortlist stays a fraction of the corpus, so
+    * the compressed scan is doing the selection).
+    */
+  def pqTopKQ(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") < 20)
+    val out = graft.ops.Pq.pqTopK(e, q, "embedding", "vec_id", dim = 64,
+      k = 5, m = 16, ksub = 64, iters = 4, shortlist = 160)
+    val n = e.count()
+    require(n >= 160 * 3, s"corpus $n too small for an honest 160-shortlist")
+    val pq = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = graft.ops.Similarity
+      .bruteForceTopK(e, q, "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    require(pq == brute,
+      s"PQ recall contract broken: ${(brute -- pq).size} of ${brute.size} " +
+        "brute-force results missing from the reranked shortlist")
+    out
+  }
+
   def annLshTopK(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     graft.ops.Similarity.lshTopK(e, e.filter(col("vec_id") < 20),
@@ -1181,6 +1391,44 @@ object Queries {
     }.map(_.metrics("numFiles").value).sum
     require(live >= 12 && scanned * 100 < live * 60,
       s"z-order pruning regressed: scanned $scanned of $live files")
+    out
+  }
+
+  /** Bloom-filter point-lookup pruning end-to-end: the documents table seeds
+    * a lake keyed by doc_id with `commit` = sha256(text) — a uniformly
+    * distributed value UNCORRELATED with the key clustering, so per-file
+    * min/max stats span the whole domain and can never prune it. The full
+    * re-cluster writes parquet-native blooms on `commit`
+    * (`bloomColumns`), the manifest advertises them, and the point lookup
+    * probes them at planning time (BloomPrune). The oracle is the plain
+    * subquery filter; the query HARD-ASSERTS the probe pruned to under 40%
+    * of live files — a bloom/advertisement regression fails the driver run
+    * instead of silently reverting to full scans.
+    */
+  def bloomPrune(s: SparkSession, d: String): DataFrame = {
+    val root = scratchDir("bloomq", d)
+    documents(s, d).select(
+        lit("docs").as("repo"),
+        col("doc_id").cast("string").as("path"),
+        col("lang"),
+        sha2(col("text"), 256).as("commit"),
+        col("text").as("content"))
+      .write.format("graft").mode("overwrite").option("path", root).save()
+    val t = new graft.lake.LakeTable(s, root, bloomColumns = Seq("commit"))
+    val rows = t.head().files.map(_.rows).sum
+    t.compact(targetRowsPerFile = math.max(1L, rows / 24), full = true)
+    val live = t.head().files.size
+    val target = documents(s, d).filter(col("doc_id") === 100)
+      .select(sha2(col("text"), 256)).head().getString(0)
+    val out = t.readWhere(col("commit") === target)
+      .select(col("path").cast("long").as("doc_id"), col("lang"),
+        col("commit").as("text_sha"))
+    out.collect()
+    val scanned = out.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.map(_.metrics("numFiles").value).sum
+    require(live >= 12 && scanned * 100 < live * 40,
+      s"bloom pruning regressed: scanned $scanned of $live files")
     out
   }
 
