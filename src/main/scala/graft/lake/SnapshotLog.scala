@@ -149,6 +149,7 @@ final class CommitConflictException(msg: String) extends IllegalStateException(m
   * idempotent commit protocol (SURVEY.md §7.2).
   */
 final class SnapshotLog(spark: SparkSession, root: String) {
+  import SnapshotLog.supportedFeatures
   private val metaDir = new Path(root, "meta")
   private def fs: FileSystem = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -449,6 +450,17 @@ final class SnapshotLog(spark: SparkSession, root: String) {
       ("widenedAt" -> s.widenedAt.toSeq.sortBy(_._1).map { case (n, (l, f)) =>
         ("name" -> n) ~ ("lsn" -> l) ~ ("from" -> f) }) ~
       ("constraints" -> s.constraints) ~
+      // protocol gate (the Delta reader-version analog): the features a
+      // reader MUST understand to interpret this snapshot correctly.
+      // Derived from the snapshot's actual content, not writer identity —
+      // a delta-free, constraint-free snapshot stays readable by any older
+      // reader even if newer features were used earlier in its history.
+      ("requiredFeatures" -> {
+        val f = Seq.newBuilder[String]
+        if (s.files.exists(_.delta)) f += "merge-on-read-deltas"
+        if (s.constraints.nonEmpty) f += "check-constraints"
+        f.result()
+      }) ~
       ("manifests" -> manifests)
     JsonMethods.compact(JsonMethods.render(json))
   }
@@ -456,6 +468,19 @@ final class SnapshotLog(spark: SparkSession, root: String) {
   private def parseSnapshot(txt: String): Snapshot = {
     implicit val fmt: Formats = DefaultFormats
     val j = JsonMethods.parse(txt)
+    // protocol gate FIRST: a reader that does not know a required feature
+    // must fail loudly here, not silently misread (e.g. serving a
+    // merge-on-read snapshot's base rows without resolving its deltas).
+    (j \ "requiredFeatures") match {
+      case JArray(fs) =>
+        val declared = fs.collect { case JString(s) => s }.toSet
+        val unknown = declared -- supportedFeatures
+        if (unknown.nonEmpty) throw new IllegalStateException(
+          s"this table snapshot requires reader features ${unknown.mkString(", ")} " +
+            "that this version of the library does not support; upgrade the reader " +
+            s"(supported: ${supportedFeatures.toSeq.sorted.mkString(", ")})")
+      case _ => () // pre-protocol snapshots: base feature set only
+    }
     val ledger = BatchLedger(
       (j \ "ledgerHwm").extract[Map[String, Long]],
       (j \ "ledgerSparse").extract[Seq[JObject]]
@@ -515,4 +540,15 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     */
   def history(): Seq[CommitInfo] =
     listVersions().sorted(Ordering[Long].reverse).map(describe)
+}
+
+object SnapshotLog {
+  /** Reader features this build understands (the Delta protocol-version
+    * analog, named not numbered — independent features compose). A snapshot
+    * lists the subset its CONTENT actually requires in `requiredFeatures`;
+    * [[SnapshotLog]] rejects snapshots demanding anything else, so a future
+    * format addition degrades to a clear upgrade error instead of silent
+    * misreads.
+    */
+  val supportedFeatures: Set[String] = Set("merge-on-read-deltas", "check-constraints")
 }

@@ -39,6 +39,7 @@ final class Lineage(spark: SparkSession, root: String, flushEvery: Int = 0) {
       ("deletes", st.deletes),
       ("schemaChanges", st.schemaChanges),
       ("schemaQuarantined", st.schemaQuarantined),
+      ("constraintQuarantined", st.constraintQuarantined),
       ("snapshotVersion", st.version),
       ("noOp", if (st.noOp) 1L else 0L)
     ).map { case (m, v) => (st.epoch, st.batchId, m, v) }
