@@ -201,6 +201,25 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     parseSnapshot(txt)
   }
 
+  /** Writer half of the protocol gate: refuse to commit a child of a
+    * snapshot that requires writer features this build lacks.
+    */
+  private def writerGate(parentVersion: Long): Unit = {
+    val j = JsonMethods.parse(readText(new Path(metaDir, s"v$parentVersion.json")))
+    (j \ "requiredWriterFeatures") match {
+      case JArray(fs) =>
+        val declared = fs.collect { case JString(s) => s }.toSet
+        val unknown = declared -- SnapshotLog.supportedWriterFeatures
+        if (unknown.nonEmpty) throw new IllegalStateException(
+          s"the parent snapshot v$parentVersion requires writer features " +
+            s"${unknown.mkString(", ")} that this version of the library does not " +
+            "support; upgrade the writer (supported: " +
+            s"${SnapshotLog.supportedWriterFeatures.toSeq.sorted.mkString(", ")}). " +
+            "Reading the table remains possible.")
+      case _ => () // pre-protocol snapshots: base feature set only
+    }
+  }
+
   /** Manifest refs of a snapshot version (for GC). */
   private def manifestRefs(version: Long): Seq[String] = {
     implicit val fmt: Formats = DefaultFormats
@@ -278,6 +297,11 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     */
   def commit(snap: Snapshot): Unit = {
     fs.mkdirs(metaDir)
+    // writer protocol gate: committing on top of a parent whose invariants
+    // this build does not understand (e.g. CHECK constraints it would not
+    // enforce) must fail loudly BEFORE publishing — reading such a parent is
+    // safe, extending its history is not.
+    if (snap.version > 0 && snap.parent >= 0) writerGate(snap.parent)
     val parentManifests: Seq[String] =
       if (snap.version == 0 || snap.parent < 0) Seq.empty
       else manifestRefs(snap.parent)
@@ -450,14 +474,20 @@ final class SnapshotLog(spark: SparkSession, root: String) {
       ("widenedAt" -> s.widenedAt.toSeq.sortBy(_._1).map { case (n, (l, f)) =>
         ("name" -> n) ~ ("lsn" -> l) ~ ("from" -> f) }) ~
       ("constraints" -> s.constraints) ~
-      // protocol gate (the Delta reader-version analog): the features a
-      // reader MUST understand to interpret this snapshot correctly.
-      // Derived from the snapshot's actual content, not writer identity —
-      // a delta-free, constraint-free snapshot stays readable by any older
-      // reader even if newer features were used earlier in its history.
-      ("requiredFeatures" -> {
+      // protocol gate (the Delta reader/writer-version analog), derived from
+      // the snapshot's actual CONTENT, not writer identity — a delta-free,
+      // constraint-free snapshot stays readable by any older reader even if
+      // newer features were used earlier in its history. Reader features are
+      // what you must understand to produce correct ROWS (pending deltas must
+      // be resolved); writer features additionally cover invariants any
+      // COMMIT on top of this snapshot must preserve (CHECK constraints must
+      // be enforced — reading past them is safe, writing past them is not).
+      // Writer features are a superset of reader features: a writer carries
+      // forward what it reads.
+      ("requiredFeatures" -> readerFeaturesOf(s)) ~
+      ("requiredWriterFeatures" -> {
         val f = Seq.newBuilder[String]
-        if (s.files.exists(_.delta)) f += "merge-on-read-deltas"
+        f ++= readerFeaturesOf(s)
         if (s.constraints.nonEmpty) f += "check-constraints"
         f.result()
       }) ~
@@ -465,12 +495,18 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     JsonMethods.compact(JsonMethods.render(json))
   }
 
+  private def readerFeaturesOf(s: Snapshot): Seq[String] =
+    if (s.files.exists(_.delta)) Seq("merge-on-read-deltas") else Seq.empty
+
   private def parseSnapshot(txt: String): Snapshot = {
     implicit val fmt: Formats = DefaultFormats
     val j = JsonMethods.parse(txt)
-    // protocol gate FIRST: a reader that does not know a required feature
-    // must fail loudly here, not silently misread (e.g. serving a
+    // reader protocol gate FIRST: a reader that does not know a required
+    // feature must fail loudly here, not silently misread (e.g. serving a
     // merge-on-read snapshot's base rows without resolving its deltas).
+    // Writer features are deliberately NOT checked here — reading a
+    // constraint-bearing table needs no constraint knowledge; the writer
+    // gate lives in commit() against the parent snapshot.
     (j \ "requiredFeatures") match {
       case JArray(fs) =>
         val declared = fs.collect { case JString(s) => s }.toSet
@@ -548,7 +584,16 @@ object SnapshotLog {
     * lists the subset its CONTENT actually requires in `requiredFeatures`;
     * [[SnapshotLog]] rejects snapshots demanding anything else, so a future
     * format addition degrades to a clear upgrade error instead of silent
-    * misreads.
+    * misreads. `check-constraints` stays in the READER set for compatibility
+    * with early-protocol snapshots that declared it reader-side; current
+    * writers declare it only in `requiredWriterFeatures` (constraints gate
+    * commits, not reads).
     */
   val supportedFeatures: Set[String] = Set("merge-on-read-deltas", "check-constraints")
+
+  /** Writer features this build can preserve when extending a table's
+    * history — a superset of [[supportedFeatures]]: a writer carries forward
+    * what it reads, plus enforces write-time invariants (CHECK constraints).
+    */
+  val supportedWriterFeatures: Set[String] = supportedFeatures
 }
