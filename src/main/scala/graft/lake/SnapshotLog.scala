@@ -202,10 +202,10 @@ final class SnapshotLog(spark: SparkSession, root: String) {
   }
 
   /** Writer half of the protocol gate: refuse to commit a child of a
-    * snapshot that requires writer features this build lacks.
+    * snapshot that requires writer features this build lacks. `j` is the
+    * parent's already-parsed snapshot JSON.
     */
-  private def writerGate(parentVersion: Long): Unit = {
-    val j = JsonMethods.parse(readText(new Path(metaDir, s"v$parentVersion.json")))
+  private def writerGate(parentVersion: Long, j: JValue): Unit = {
     (j \ "requiredWriterFeatures") match {
       case JArray(fs) =>
         val declared = fs.collect { case JString(s) => s }.toSet
@@ -297,14 +297,20 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     */
   def commit(snap: Snapshot): Unit = {
     fs.mkdirs(metaDir)
-    // writer protocol gate: committing on top of a parent whose invariants
-    // this build does not understand (e.g. CHECK constraints it would not
-    // enforce) must fail loudly BEFORE publishing — reading such a parent is
-    // safe, extending its history is not.
-    if (snap.version > 0 && snap.parent >= 0) writerGate(snap.parent)
+    // one parse of the parent snapshot JSON serves both the writer protocol
+    // gate and the manifest delta below. The gate runs FIRST: committing on
+    // top of a parent whose invariants this build does not understand (e.g.
+    // CHECK constraints it would not enforce) must fail loudly before
+    // anything publishes — reading such a parent is safe, extending its
+    // history is not.
     val parentManifests: Seq[String] =
       if (snap.version == 0 || snap.parent < 0) Seq.empty
-      else manifestRefs(snap.parent)
+      else {
+        val j = JsonMethods.parse(readText(new Path(metaDir, s"v${snap.parent}.json")))
+        writerGate(snap.parent, j)
+        implicit val fmt: Formats = DefaultFormats
+        (j \ "manifests").extract[Seq[String]]
+      }
     val livePaths = snap.files.map(_.path).toSet
     val byPath = snap.files.map(f => f.path -> f).toMap
 

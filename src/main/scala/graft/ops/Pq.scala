@@ -211,4 +211,61 @@ object Pq {
       .localCheckpoint()
     finally codes.unpersist()
   }
+
+  /** A trained, persisted PQ index: `table` holds the encoded corpus (one
+    * narrow (id, codes) row per vector — the 16-bytes-per-vector artifact
+    * the ADC scan reads) and `table_books` the m × ksub sub-codebooks.
+    * Train once, probe many: at the 10^9-vector design point training and
+    * encoding are one batch job, and every later search pays only the
+    * compressed-code pass + the shortlist rerank — no Lloyd iterations, no
+    * full-vector corpus scan before the rerank.
+    */
+  final case class PqIndex(table: String, model: PqModel)
+
+  /** Train + encode + persist. Codes land as a managed parquet table,
+    * codebooks next to it, so a later session can [[loadIndex]] and probe
+    * without retraining or re-encoding.
+    */
+  def buildIndex(corpus: DataFrame, vecCol: String, idCol: String, dim: Int,
+                 table: String, m: Int = 16, ksub: Int = 64,
+                 iters: Int = 4): PqIndex = {
+    val spark = corpus.sparkSession
+    val model = train(corpus, vecCol, idCol, dim, m, ksub, iters)
+    graft.kernel.Bucketing.dropManaged(spark, table)
+    encode(corpus, vecCol, idCol, model)
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+    graft.kernel.Bucketing.dropManaged(spark, s"${table}_books")
+    booksDf(spark, model.books)
+      .coalesce(1).write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_books")
+    PqIndex(table, model)
+  }
+
+  /** Reload a persisted index (no retraining, no corpus scan). Geometry
+    * comes back from the books table itself: m = subspace count, subDim =
+    * centroid width, dim = m × subDim.
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, table: String): PqIndex = {
+    val rows = spark.table(s"${table}_books")
+      .orderBy(col("__s"), col("__code")).collect()
+    require(rows.nonEmpty, s"empty PQ books table ${table}_books")
+    val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toArray
+    }.toArray
+    val m = books.length
+    val dim = m * books.head.head.length
+    PqIndex(table, PqModel(dim, m, books))
+  }
+
+  /** Search a persisted index: the ADC pass reads the narrow codes table
+    * instead of re-encoding; `corpus` supplies only the original vectors
+    * for the exact shortlist rerank. Output shape matches [[pqTopK]], and
+    * for the same (corpus, params) the results are identical —
+    * train-once/probe-many changes where the work happens, not the answer.
+    */
+  def probeTopK(index: PqIndex, corpus: DataFrame, queries: DataFrame,
+                vecCol: String, idCol: String, k: Int = 5,
+                shortlist: Int = 128): DataFrame =
+    adcTopK(corpus.sparkSession.table(index.table), corpus, queries,
+      vecCol, idCol, index.model, k, shortlist)
 }

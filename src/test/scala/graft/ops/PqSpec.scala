@@ -61,6 +61,26 @@ class PqSpec extends SparkSuite {
     assert(pq === brute)
   }
 
+  test("persisted index: build → load round-trips the model; probe matches one-shot") {
+    val c = corpus(300)
+    val q = c.filter(col("vec_id") < 8)
+    val built = Pq.buildIndex(c, "embedding", "vec_id", dim, "pq_spec_idx",
+      m = 4, ksub = 8, iters = 3)
+    val loaded = Pq.loadIndex(spark, "pq_spec_idx")
+    // geometry reconstructs from the books table alone
+    assert(loaded.model.dim === dim && loaded.model.m === 4 && loaded.model.ksub === 8)
+    // codebooks round-trip bit-identically (doubles through parquet are exact)
+    assert(loaded.model.books.map(_.map(_.toSeq).toSeq).toSeq ===
+      built.model.books.map(_.map(_.toSeq).toSeq).toSeq)
+    val probe = Pq.probeTopK(loaded, c, q, "embedding", "vec_id",
+      k = 3, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val oneShot = Pq.pqTopK(c, q, "embedding", "vec_id", dim,
+      k = 3, m = 4, ksub = 8, iters = 3, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(probe === oneShot)
+  }
+
   test("invalid geometry is rejected loudly") {
     val c = corpus(50)
     intercept[IllegalArgumentException] {
