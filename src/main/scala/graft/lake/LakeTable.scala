@@ -171,8 +171,22 @@ final class LakeTable(spark: SparkSession, val root: String,
     * difference between a key lookup and a full-table scan. Unknown
     * predicate shapes and missing stats fail OPEN (file kept).
     */
-  def readWhere(predicate: org.apache.spark.sql.Column): DataFrame = {
-    val snap = head()
+  def readWhere(predicate: org.apache.spark.sql.Column): DataFrame =
+    // TWO-LEVEL metadata pruning (the Iceberg manifest-list analog): when the
+    // head snapshot carries manifest summaries, plan from the HEADER alone —
+    // prune whole manifests by their key bounding box BEFORE parsing any of
+    // them, then prune files within the survivors. A fresh process doing a
+    // point read on a 10^6-file table parses O(overlapping) manifests, not
+    // O(table). Pre-summary snapshots fall back to the full parse (readHeader
+    // returns None), producing identical rows.
+    log.latestVersion().flatMap(log.readHeader) match {
+      case Some(h) => readWhereFrom(h, predicate, headerOnly = true)
+      case None    => readWhereFrom(head(), predicate, headerOnly = false)
+    }
+
+  private def readWhereFrom(
+      snap: Snapshot, predicate: org.apache.spark.sql.Column,
+      headerOnly: Boolean): DataFrame = {
     // resolve the predicate against the table schema first: a raw Column in
     // Spark 4 is a ColumnNode tree (UnresolvedFunction("=",…)), not Catalyst
     // EqualTo/And — analyzing a Filter over an empty LocalRelation yields the
@@ -184,20 +198,37 @@ final class LakeTable(spark: SparkSession, val root: String,
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(true))
     }
-    val (strCols, longCols) = typedPrunable(snap)
+    // statted/bloom column sets and the delta flag come from summaries on the
+    // header path (unions over manifests ≡ unions over their entries) and
+    // from loaded entries on the legacy path
+    val (strCols, longCols) =
+      if (headerOnly) typedPrunableFrom(snap.schema,
+        snap.manifestSummaries.iterator.flatMap(_.stattedStr).toSet,
+        snap.manifestSummaries.iterator.flatMap(_.stattedLong).toSet)
+      else typedPrunable(snap)
+    val hasDeltas =
+      if (headerOnly) snap.manifestSummaries.exists(_.hasDeltas)
+      else snap.files.exists(_.delta)
     // NON-KEY bounds are unsound while deferred-merge deltas are pending: a
     // non-key value can differ between a stale delta row and the newer base
     // row shadowing it, so dropping the base file on a stat bound flips the
     // per-key winner and surfaces a row the full scan would never return
     // (DeltaPruneSoundnessSpec). Key columns are immutable per key — every
     // copy of a candidate key lives in a file whose key box overlaps the
-    // bound, so key pruning can never split a key's copy set. Restrict to
-    // key bounds until compaction materializes the deltas.
+    // bound, so key pruning can never split a key's copy set (the identical
+    // argument covers manifest-box pruning: a manifest's key box contains
+    // every key of every file it lists). Restrict to key bounds until
+    // compaction materializes the deltas.
     val (ps, pl) =
-      if (snap.files.exists(_.delta)) (strCols.filter(keyCols.contains), Seq.empty[String])
+      if (hasDeltas) (strCols.filter(keyCols.contains), Seq.empty[String])
       else (strCols, longCols)
     val bounds = KeyPredicates.extractTyped(cond, ps, pl)
-    val pruned = bloomPruneFiles(snap, cond, pruneFiles(snap, bounds), ps, pl)
+    val candidates =
+      if (headerOnly)
+        log.loadManifests(
+          snap.manifestSummaries.filter(_.overlapsKeys(bounds)).map(_.name))
+      else snap.files
+    val pruned = bloomPruneFiles(snap, cond, pruneEntries(candidates, bounds), ps, pl)
     readAt(snap, pruned).filter(predicate)
   }
 
@@ -213,7 +244,11 @@ final class LakeTable(spark: SparkSession, val root: String,
       candidates: Seq[DataFileEntry],
       strCols: Seq[String], longCols: Seq[String]): Seq[DataFileEntry] = {
     val byName = snap.schema.fields.map(f => f.name -> f.dataType).toMap
-    val advertised = snap.files.iterator.flatMap(_.bloomCols).toSet
+    // advertised blooms from the CANDIDATES, not snap.files: only candidate
+    // files get probed, and a file without the bloom fails open anyway —
+    // equivalent pruning, and it keeps this callable from header-only reads
+    // (snap.files unloaded) where candidates came via manifest summaries
+    val advertised = candidates.iterator.flatMap(_.bloomCols).toSet
     val bloomStr = strCols.filter(c => advertised.contains(c) &&
       byName.get(c).contains(StringType))
     val bloomLong = longCols.filter(c => advertised.contains(c) && (byName.get(c) match {
@@ -244,10 +279,20 @@ final class LakeTable(spark: SparkSession, val root: String,
     * Columns of other types (float/double/boolean — NaN ordering and
     * near-zero selectivity make stats useless) are never statted.
     */
-  private[lake] def typedPrunable(snap: Snapshot): (Seq[String], Seq[String]) = {
-    val byName = snap.schema.fields.map(f => f.name -> f.dataType).toMap
-    val statted = snap.files.iterator.flatMap(_.stats.keysIterator).toSet
-    val lstatted = snap.files.iterator.flatMap(_.longStats.keysIterator).toSet
+  private[lake] def typedPrunable(snap: Snapshot): (Seq[String], Seq[String]) =
+    typedPrunableFrom(snap.schema,
+      snap.files.iterator.flatMap(_.stats.keysIterator).toSet,
+      snap.files.iterator.flatMap(_.longStats.keysIterator).toSet)
+
+  /** [[typedPrunable]] core over explicit statted-column sets — the
+    * header-only read path derives them from [[ManifestSummary]] unions
+    * instead of loaded file entries (equal by construction: a summary's
+    * statted lists are the union over its manifest's entries).
+    */
+  private[lake] def typedPrunableFrom(
+      schema: StructType, statted: Set[String], lstatted: Set[String])
+      : (Seq[String], Seq[String]) = {
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
     val strings = (keyCols ++ (statted -- keyCols).toSeq.sorted)
       .filter(c => byName.get(c).contains(StringType))
     val longs = lstatted.toSeq.sorted.filter(c => byName.get(c) match {
@@ -265,7 +310,15 @@ final class LakeTable(spark: SparkSession, val root: String,
     */
   private[lake] def pruneFiles(
       snap: Snapshot, bounds: KeyPredicates.TypedBounds): Seq[DataFileEntry] =
-    snap.files.filter { f =>
+    pruneEntries(snap.files, bounds)
+
+  /** [[pruneFiles]] over an explicit entry list (header-only reads pass the
+    * entries of just the summary-surviving manifests).
+    */
+  private[lake] def pruneEntries(
+      entries: Seq[DataFileEntry], bounds: KeyPredicates.TypedBounds)
+      : Seq[DataFileEntry] =
+    entries.filter { f =>
       bounds.strings.forall { case (c, b) =>
         val (mn, mx) = f.boundsOf(c)
         b.overlaps(mn, mx)
@@ -504,8 +557,11 @@ final class LakeTable(spark: SparkSession, val root: String,
     */
   def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion, s"$fromVersion > $toVersion")
-    val from = log.read(fromVersion)
-    val to = log.read(toVersion)
+    // expired/over-head window ends fail here with the rich retention error
+    // (describe() on an expired mid-window version would otherwise leak a
+    // raw missing-file exception) — two tiny JSON reads, no manifest loads
+    log.requireRetained(fromVersion)
+    log.requireRetained(toVersion)
     // A restore commit inside the window invalidates the `_ver` fast path:
     // the rows it (re)exposed carry their ORIGINAL commit versions, so the
     // manifest-diff + `_ver > from` scan below would silently miss them (and
@@ -515,16 +571,55 @@ final class LakeTable(spark: SparkSession, val root: String,
     // versions per window — and fall back to the exact two-state diff.
     val crossesRestore = (fromVersion + 1 to toVersion)
       .exists(v => log.describe(v).operation.startsWith("restore"))
-    if (crossesRestore) return stateDiff(from, to, toVersion)
-    val old = from.files.map(_.path).toSet
-    // FILE-level pruning first: a file whose footer-stat maxVer is at or
-    // below fromVersion holds only carried rows — skip it at planning time
-    // (the Iceberg data-sequence-number analog; after a compaction rewrites a
-    // mostly-cold table this is the difference between re-opening every file
-    // and touching only the files holding recently-changed keys). None =
-    // unknown stats — fail open.
-    val added = to.files
-      .filter(f => !old.contains(f.path) && f.maxVer.forall(_ > fromVersion))
+    if (crossesRestore)
+      return stateDiff(log.read(fromVersion), log.read(toVersion), toVersion)
+    // MANIFEST-level diff from the snapshot headers when both carry manifest
+    // summaries: a manifest referenced by BOTH versions is carried unchanged
+    // (manifests are immutable and names are unique per write), so it can
+    // contribute no added file — only manifests new in `to` are parsed, plus
+    // the manifests `from` dropped (a rewritten manifest's kept entries are
+    // OLD files whose originals lived exactly in those dropped manifests —
+    // every other `from` path sits in a carried manifest `to` still
+    // references, which the name diff already excluded). Cost per feed
+    // window: O(changed manifests), not O(table) — the metadata analog of
+    // the `_ver` file pruning below. Summary-level maxVer skips a new-in-`to`
+    // manifest whose files ALL predate the window (post-compaction rewrites
+    // of cold ranges). Pre-summary snapshots fall back to full parses.
+    (log.readHeader(fromVersion), log.readHeader(toVersion)) match {
+      case (Some(fh), Some(th)) =>
+        val fromNames = fh.manifestSummaries.map(_.name).toSet
+        val toNames = th.manifestSummaries.map(_.name).toSet
+        val toOnly = th.manifestSummaries.filterNot(s => fromNames.contains(s.name))
+        val fromOnly = fh.manifestSummaries.map(_.name).filterNot(toNames.contains)
+        val candidates = log.loadManifests(
+          toOnly.filter(_.maxVer.forall(_ > fromVersion)).map(_.name))
+        val oldPaths = log.loadManifests(fromOnly).map(_.path).toSet
+        val added = candidates
+          .filter(f => !oldPaths.contains(f.path) && f.maxVer.forall(_ > fromVersion))
+        changesFrom(th, added, fromVersion, toVersion)
+      case _ =>
+        val from = log.read(fromVersion)
+        val to = log.read(toVersion)
+        val old = from.files.map(_.path).toSet
+        val added = to.files
+          .filter(f => !old.contains(f.path) && f.maxVer.forall(_ > fromVersion))
+        changesFrom(to, added, fromVersion, toVersion)
+    }
+  }
+
+  /** Shared tail of [[changesBetween]]: scan the added files, resolve
+    * per-key winners when needed, keep rows modified inside the window.
+    */
+  private def changesFrom(
+      to: Snapshot, added: Seq[DataFileEntry],
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    // `added` arrives FILE-level pruned by footer-stat maxVer: a file whose
+    // maxVer is at or below fromVersion holds only carried rows — skipped at
+    // planning time (the Iceberg data-sequence-number analog; after a
+    // compaction rewrites a mostly-cold table this is the difference between
+    // re-opening every file and touching only the files holding
+    // recently-changed keys). None = unknown stats — fail open.
+    //
     // null _ver = a file written before commit-version stamping existed
     // (parquet null-fills the missing column). Fail OPEN: deliver such rows
     // rather than silently dropping pre-upgrade history — re-delivery is

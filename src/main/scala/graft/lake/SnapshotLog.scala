@@ -66,7 +66,74 @@ final case class Snapshot(
     maxLsn: Long = -1L,
     widenedAt: Map[String, (Long, String)] = Map.empty,
     operation: String = "",
-    constraints: Map[String, String] = Map.empty)
+    constraints: Map[String, String] = Map.empty,
+    manifestSummaries: Seq[ManifestSummary] = Nil)
+
+/** Per-manifest summary embedded in the snapshot JSON — the Iceberg
+  * manifest-LIST analog. Carries enough metadata to decide WITHOUT parsing a
+  * manifest whether a pruned read must load it: the union key bounding box
+  * of its files (None side = some file unbounded there — fail open), the max
+  * `_ver` across its files (None = some file unknown — fail open; lets the
+  * change feed skip whole cold manifests), whether it holds deferred-merge
+  * delta files, and the union of statted / bloom'd column names (so a
+  * header-only reader knows which predicate columns are prunable at all).
+  *
+  * Summaries are recomputed at every commit from the entries the commit
+  * already holds in memory (carried-by-reference manifests were just read
+  * for the manifest delta), so they cost no extra I/O; they are an
+  * OPTIMIZATION, not a protocol feature — a reader that ignores them and
+  * parses every manifest produces identical rows, so no required-feature
+  * bump. At the 10^6-file design point this is the difference between a
+  * fresh process parsing O(table) manifest JSON for a point read and
+  * parsing O(1) overlapping manifests.
+  */
+final case class ManifestSummary(
+    name: String,
+    fileCount: Long,
+    minRepo: Option[String], maxRepo: Option[String],
+    minPath: Option[String], maxPath: Option[String],
+    maxVer: Option[Long],
+    hasDeltas: Boolean,
+    stattedStr: Seq[String],
+    stattedLong: Seq[String],
+    bloomCols: Seq[String]) {
+  /** Can any file in this manifest hold a row inside the key bounds?
+    * Only the (repo, path) box is summarized at manifest level; secondary
+    * columns fail open here and prune at file level after the parse.
+    */
+  def overlapsKeys(bounds: KeyPredicates.TypedBounds): Boolean = {
+    def side(c: String, mn: Option[String], mx: Option[String]): Boolean =
+      bounds.strings.get(c).forall(_.overlaps(mn, mx))
+    side("repo", minRepo, maxRepo) && side("path", minPath, maxPath)
+  }
+}
+
+object ManifestSummary {
+  def of(name: String, entries: Seq[DataFileEntry]): ManifestSummary = {
+    // combine per-file bounds under the SAME unsigned-UTF-8 order the file
+    // stats were written in (LakeTable.utf8Compare) — JVM string order
+    // disagrees above the BMP and would widen/shrink the box incorrectly
+    def mn(f: DataFileEntry => Option[String]): Option[String] =
+      if (entries.isEmpty || entries.exists(e => f(e).isEmpty)) None
+      else Some(entries.flatMap(e => f(e))
+        .reduce((a, b) => if (LakeTable.utf8Compare(a, b) <= 0) a else b))
+    def mx(f: DataFileEntry => Option[String]): Option[String] =
+      if (entries.isEmpty || entries.exists(e => f(e).isEmpty)) None
+      else Some(entries.flatMap(e => f(e))
+        .reduce((a, b) => if (LakeTable.utf8Compare(a, b) >= 0) a else b))
+    ManifestSummary(
+      name = name,
+      fileCount = entries.size.toLong,
+      minRepo = mn(_.minRepo), maxRepo = mx(_.maxRepo),
+      minPath = mn(_.minPath), maxPath = mx(_.maxPath),
+      maxVer = if (entries.isEmpty || entries.exists(_.maxVer.isEmpty)) None
+               else Some(entries.flatMap(_.maxVer).max),
+      hasDeltas = entries.exists(_.delta),
+      stattedStr = entries.iterator.flatMap(_.stats.keysIterator).toSeq.distinct.sorted,
+      stattedLong = entries.iterator.flatMap(_.longStats.keysIterator).toSeq.distinct.sorted,
+      bloomCols = entries.iterator.flatMap(_.bloomCols).toSeq.distinct.sorted)
+  }
+}
 
 /** One line of [[SnapshotLog.history]]: a commit's audit header, read from
   * the snapshot JSON alone — no manifest loads, no data I/O. Size aggregates
@@ -177,8 +244,15 @@ final class SnapshotLog(spark: SparkSession, root: String) {
 
   def head(): Option[Snapshot] = latestVersion().map(read)
 
-  def read(version: Long): Snapshot = {
-    val txt =
+  def read(version: Long): Snapshot = parseSnapshot(snapshotText(version))
+
+  /** Fail with the rich retention/over-head error when `version` is not
+    * retained — one tiny JSON read, no manifest loads. Callers that go on to
+    * read headers use this to surface the SAME error a full read would.
+    */
+  def requireRetained(version: Long): Unit = { snapshotText(version); () }
+
+  private def snapshotText(version: Long): String =
       try readText(new Path(metaDir, s"v$version.json"))
       catch {
         case e: java.io.FileNotFoundException =>
@@ -198,8 +272,6 @@ final class SnapshotLog(spark: SparkSession, root: String) {
           throw new IllegalStateException(
             s"snapshot v$version does not exist at $root$detail", e)
       }
-    parseSnapshot(txt)
-  }
 
   /** Writer half of the protocol gate: refuse to commit a child of a
     * snapshot that requires writer features this build lacks. `j` is the
@@ -236,13 +308,28 @@ final class SnapshotLog(spark: SparkSession, root: String) {
   // commits within one writer process
   private val manifestCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFileEntry]]()
 
+  /** Manifest files actually read+parsed by this log instance (cache
+    * misses). Observability for the two-level metadata pruning: a pruned
+    * point read on a fresh process should load O(overlapping) manifests,
+    * not O(table) — ManifestPruneSpec asserts on this counter.
+    */
+  val manifestLoads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def readManifest(name: String): Seq[DataFileEntry] = {
     manifestCache.computeIfAbsent(name, { n =>
+      manifestLoads.incrementAndGet()
       implicit val fmt: Formats = DefaultFormats
       val j = JsonMethods.parse(readText(new Path(metaDir, n)))
       (j \ "files").extract[Seq[JObject]].map(parseEntry)
     })
   }
+
+  /** Entries of exactly the named manifests (for pruned reads that have
+    * already decided, from the snapshot header's [[ManifestSummary]] list,
+    * which manifests can matter). Bounded-parallel like a full load.
+    */
+  private[lake] def loadManifests(names: Seq[String]): Seq[DataFileEntry] =
+    readManifests(names)
 
   /** Load a snapshot's manifests with bounded parallelism. A snapshot at the
     * 10^5-file design point references hundreds of immutable manifests;
@@ -320,19 +407,22 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     // permanently on the leftover deterministic name, wedging the table)
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     var covered = Set.empty[String]
-    var refs = Vector.empty[String]
+    // (manifest name, its entries): entries are in memory anyway (carried
+    // manifests were just read for the delta), so the per-manifest summary
+    // list in the snapshot JSON costs no extra I/O
+    var refs = Vector.empty[(String, Seq[DataFileEntry])]
     var rewriteIdx = 0
     for (m <- parentManifests) {
       val entries = readManifest(m)
       val kept = entries.filter(e => livePaths.contains(e.path))
       if (kept.size == entries.size) {
-        refs :+= m
+        refs :+= (m -> entries)
         covered ++= entries.map(_.path)
       } else if (kept.nonEmpty) {
         val name = s"m${snap.version}-r$rewriteIdx-$attempt.json"
         rewriteIdx += 1
         writeManifest(name, kept)
-        refs :+= name
+        refs :+= (name -> kept)
         covered ++= kept.map(_.path)
       } // all removed → dropped
     }
@@ -340,7 +430,7 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     if (added.nonEmpty) {
       val name = s"m${snap.version}-a-$attempt.json"
       writeManifest(name, added)
-      refs :+= name
+      refs :+= (name -> added)
     }
 
     val tmp = new Path(metaDir, s".tmp-v${snap.version}-${java.util.UUID.randomUUID}.json")
@@ -458,8 +548,10 @@ final class SnapshotLog(spark: SparkSession, root: String) {
       })
   }
 
-  private def renderSnapshot(s: Snapshot, manifests: Seq[String]): String = {
+  private def renderSnapshot(
+      s: Snapshot, manifests: Seq[(String, Seq[DataFileEntry])]): String = {
     val live = s.files.filterNot(_.tomb)
+    val summaries = manifests.map { case (n, es) => ManifestSummary.of(n, es) }
     val json: JObject =
       ("version" -> s.version) ~
       ("parent" -> s.parent) ~
@@ -497,14 +589,36 @@ final class SnapshotLog(spark: SparkSession, root: String) {
         if (s.constraints.nonEmpty) f += "check-constraints"
         f.result()
       }) ~
-      ("manifests" -> manifests)
+      ("manifests" -> manifests.map(_._1)) ~
+      // manifest-LIST summaries (see ManifestSummary): header-only readers
+      // prune whole manifests by key box / maxVer before parsing any of
+      // them. Optional-side Option[String] renders as absent = unbounded.
+      ("manifestList" -> summaries.map { m =>
+        ("name" -> m.name) ~
+        ("files" -> m.fileCount) ~
+        ("minRepo" -> m.minRepo) ~ ("maxRepo" -> m.maxRepo) ~
+        ("minPath" -> m.minPath) ~ ("maxPath" -> m.maxPath) ~
+        ("maxVer" -> m.maxVer) ~
+        ("hasDeltas" -> m.hasDeltas) ~
+        ("stattedStr" -> m.stattedStr) ~
+        ("stattedLong" -> m.stattedLong) ~
+        ("bloomCols" -> m.bloomCols)
+      })
     JsonMethods.compact(JsonMethods.render(json))
   }
 
   private def readerFeaturesOf(s: Snapshot): Seq[String] =
     if (s.files.exists(_.delta)) Seq("merge-on-read-deltas") else Seq.empty
 
-  private def parseSnapshot(txt: String): Snapshot = {
+  private def parseSnapshot(txt: String): Snapshot = parseSnapshot(txt, loadFiles = true)
+
+  /** With `loadFiles = false`, returns the snapshot HEADER only: every field
+    * except `files` (which comes back EMPTY — callers must treat it as
+    * "unloaded", never as "empty table") plus the manifest summaries. One
+    * small JSON read, zero manifest parses — the entry point for pruned
+    * reads that load only overlapping manifests afterwards.
+    */
+  private def parseSnapshot(txt: String, loadFiles: Boolean): Snapshot = {
     implicit val fmt: Formats = DefaultFormats
     val j = JsonMethods.parse(txt)
     // reader protocol gate FIRST: a reader that does not know a required
@@ -532,7 +646,8 @@ final class SnapshotLog(spark: SparkSession, root: String) {
       schema = DataType.fromJson(JsonMethods.compact(JsonMethods.render(j \ "schema")))
         .asInstanceOf[StructType],
       addedAtLsn = (j \ "addedAtLsn").extract[Map[String, Long]],
-      files = readManifests((j \ "manifests").extract[Seq[String]]),
+      files = if (loadFiles) readManifests((j \ "manifests").extract[Seq[String]])
+              else Nil,
       ledger = ledger,
       parent = (j \ "parent").extract[Long],
       maxLsn = (j \ "maxLsn") match {
@@ -554,7 +669,56 @@ final class SnapshotLog(spark: SparkSession, root: String) {
       constraints = (j \ "constraints") match {
         case o: JObject => o.extract[Map[String, String]]
         case _ => Map.empty // pre-constraint snapshots
+      },
+      manifestSummaries = (j \ "manifestList") match {
+        case JArray(ms) => ms.map { m =>
+          def os(n: String): Option[String] = (m \ n) match {
+            case JString(v) => Some(v)
+            case _ => None
+          }
+          def strs(n: String): Seq[String] = (m \ n) match {
+            case JArray(vs) => vs.collect { case JString(v) => v }
+            case _ => Nil
+          }
+          ManifestSummary(
+            name = (m \ "name").extract[String],
+            fileCount = (m \ "files").extract[Long],
+            minRepo = os("minRepo"), maxRepo = os("maxRepo"),
+            minPath = os("minPath"), maxPath = os("maxPath"),
+            maxVer = (m \ "maxVer") match {
+              case JInt(v) => Some(v.toLong)
+              case JLong(v) => Some(v)
+              case _ => None
+            },
+            hasDeltas = (m \ "hasDeltas") match {
+              case JBool(b) => b
+              case _ => true // unknown → fail open (assume deltas possible)
+            },
+            stattedStr = strs("stattedStr"),
+            stattedLong = strs("stattedLong"),
+            bloomCols = strs("bloomCols"))
+        }
+        case _ => Nil // pre-summary snapshots: no manifest-level pruning
       })
+  }
+
+  /** Snapshot HEADER of `version`: all metadata, `files` UNLOADED (empty),
+    * manifest summaries attached — or None when this snapshot predates
+    * manifest summaries (callers fall back to the full [[read]]). The
+    * completeness check (one summary per manifest ref) guards against a
+    * half-written older format ever silently dropping manifests from a
+    * pruned read.
+    */
+  def readHeader(version: Long): Option[Snapshot] = {
+    implicit val fmt: Formats = DefaultFormats
+    val txt =
+      try readText(new Path(metaDir, s"v$version.json"))
+      catch { case _: java.io.FileNotFoundException =>
+        return None // let callers route through read() for the rich error
+      }
+    val snap = parseSnapshot(txt, loadFiles = false)
+    val names = (JsonMethods.parse(txt) \ "manifests").extract[Seq[String]]
+    if (snap.manifestSummaries.map(_.name) == names) Some(snap) else None
   }
 
   /** A commit's audit header from its snapshot JSON alone (no manifest
