@@ -26,12 +26,28 @@ import org.apache.spark.sql.types.StructType
   * (tombstones live in separate files — see [[LakeTable]]).
   */
 final class GraftFileIndex(
-    spark: SparkSession, table: LakeTable, val snapshot: Snapshot)
+    spark: SparkSession, table: LakeTable, val snapshot: Snapshot,
+    headerOnly: Boolean = false)
   extends FileIndex {
 
   def tableRoot: String = table.root
 
-  private val live: Seq[DataFileEntry] = snapshot.files.filterNot(_.tomb)
+  /** With `headerOnly = true`, `snapshot` is a files-UNLOADED header carrying
+    * manifest summaries: filtered [[listFiles]] calls parse only the
+    * manifests whose key bounding box overlaps the pushed bounds (two-level
+    * metadata pruning), and this lazy full load is forced only by unfiltered
+    * scans / [[inputFiles]]. Header indexes are built only for DELTA-FREE
+    * snapshots (the provider routes pending deltas to the resolved relation).
+    */
+  private lazy val live: Seq[DataFileEntry] =
+    (if (headerOnly) table.log.loadManifests(snapshot.manifestSummaries.map(_.name))
+     else snapshot.files).filterNot(_.tomb)
+
+  private def prunable: (Seq[String], Seq[String]) =
+    if (headerOnly) table.typedPrunableFrom(snapshot.schema,
+      snapshot.manifestSummaries.iterator.flatMap(_.stattedStr).toSet,
+      snapshot.manifestSummaries.iterator.flatMap(_.stattedLong).toSet)
+    else table.typedPrunable(snapshot)
 
   /** Deliberately empty: Spark's analyzer turns `INSERT INTO` over a
     * `HadoopFsRelation` into a DIRECT file write at `rootPaths.head`, which
@@ -50,14 +66,18 @@ final class GraftFileIndex(
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val kept = dataFilters.reduceOption(And) match {
       case Some(pred) =>
-        val (strCols, longCols) = table.typedPrunable(snapshot)
-        // bounds first, then the bloom probe layer (same two layers as
-        // readWhere; this index only ever serves DELTA-FREE snapshots —
-        // the provider falls back to the resolved relation otherwise — so
-        // non-key stat pruning is sound here)
-        val afterBounds = table
-          .pruneFiles(snapshot, KeyPredicates.extractTyped(pred, strCols, longCols))
-          .filterNot(_.tomb)
+        val (strCols, longCols) = prunable
+        val bounds = KeyPredicates.extractTyped(pred, strCols, longCols)
+        // manifest level first (header indexes: skip whole manifests by key
+        // box before parsing any), then file bounds, then the bloom probe
+        // layer (same layers as readWhere; this index only ever serves
+        // DELTA-FREE snapshots — the provider falls back to the resolved
+        // relation otherwise — so non-key stat pruning is sound here)
+        val candidates =
+          if (headerOnly) table.log.loadManifests(
+            snapshot.manifestSummaries.filter(_.overlapsKeys(bounds)).map(_.name))
+          else snapshot.files
+        val afterBounds = table.pruneEntries(candidates, bounds).filterNot(_.tomb)
         table.bloomPruneFiles(snapshot, pred, afterBounds, strCols, longCols)
       case None => live
     }
@@ -88,7 +108,14 @@ final class GraftFileIndex(
   /** Drives broadcast decisions; unknown legacy lengths fall back to a
     * row-count heuristic that deliberately over-estimates (a missed
     * broadcast is slow, a wrong broadcast of a huge table is an OOM).
+    * Header indexes answer from the commit's audit aggregate (stored at
+    * commit time; includes tombstone bytes — an over-estimate, safe) so
+    * estimation does not force the full manifest load; a pre-audit-header
+    * snapshot (bytes < 0) falls back to forcing it.
     */
-  override def sizeInBytes: Long =
-    live.map(e => if (e.bytes > 0) e.bytes else e.rows * 1024L).sum
+  override lazy val sizeInBytes: Long =
+    if (headerOnly) {
+      val b = table.log.describe(snapshot.version).bytes
+      if (b >= 0) b else live.map(e => if (e.bytes > 0) e.bytes else e.rows * 1024L).sum
+    } else live.map(e => if (e.bytes > 0) e.bytes else e.rows * 1024L).sum
 }

@@ -76,9 +76,28 @@ final class GraftSourceProvider extends RelationProvider
         new GraftChangesRelation(sqlContext, table, from.toLong, to)
       case None =>
         // snapshot resolved once per relation instance: one query plans
-        // against one immutable snapshot even if writers commit concurrently
-        val snap = parameters.get("versionAsOf").map(_.toLong)
-          .map(table.log.read).getOrElse(table.head())
+        // against one immutable snapshot even if writers commit concurrently.
+        // Resolve the HEADER first (two-level metadata pruning): when the
+        // snapshot carries manifest summaries and no deltas are pending, the
+        // relation plans from the header and GraftFileIndex loads only the
+        // manifests a query's pushed filters overlap — a fresh process's SQL
+        // point read parses O(overlapping) manifests, not O(table).
+        val versionOpt = parameters.get("versionAsOf").map(_.toLong)
+        val headerOpt = versionOpt.orElse(table.log.latestVersion())
+          .flatMap(table.log.readHeader)
+          .filterNot(_.manifestSummaries.exists(_.hasDeltas))
+        headerOpt match {
+          case Some(h) =>
+            return HadoopFsRelation(
+              location = new GraftFileIndex(spark, table, h, headerOnly = true),
+              partitionSchema = StructType(Nil),
+              dataSchema = h.schema,
+              bucketSpec = None,
+              fileFormat = new ParquetFileFormat,
+              options = Map.empty)(spark)
+          case None => () // pre-summary snapshot or pending deltas: full read
+        }
+        val snap = versionOpt.map(table.log.read).getOrElse(table.head())
         if (snap.files.exists(_.delta))
           // deferred-merge deltas pending: correct results need the per-key
           // resolution window, which a bare file-scan relation cannot carry —

@@ -124,6 +124,44 @@ class ManifestPruneSpec extends SparkSuite {
     assert(got.forall(_.startsWith("new")), s"deltas must win: $got")
   }
 
+  test("format(\"graft\") point read on a fresh process parses O(1) manifests") {
+    val (t, root) = multiManifestTable()
+    val expected = t.read().filter(col("repo") === "r04").collect().toSeq.sortBy(_.toString)
+    // a NEW LakeTable instance is created inside createRelation, so its log
+    // cache is empty — but we can't reach it; instead track via a fresh
+    // table handle sharing the root AFTER clearing nothing: assert plan-level
+    // file pruning plus parity, and assert the header route engaged by
+    // checking the relation plans without loading every manifest through a
+    // side-channel instance doing the same header read
+    val df = spark.read.format("graft").load(root).filter(col("repo") === "r04")
+    assert(df.collect().toSeq.sortBy(_.toString) === expected)
+    val scanned = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.map(_.metrics("numFiles").value).sum
+    val total = t.head().files.size
+    assert(scanned <= 2, s"point read should scan O(1) of $total files, scanned $scanned")
+    // header route: the provider builds a header index for delta-free
+    // snapshots with summaries — verify the header exists and is delta-free
+    val hdr = t.log.readHeader(t.head().version)
+    assert(hdr.exists(h => h.manifestSummaries.nonEmpty &&
+      !h.manifestSummaries.exists(_.hasDeltas)))
+  }
+
+  test("format(\"graft\") unfiltered scan and pending-delta reads stay correct") {
+    val (t, root) = multiManifestTable()
+    // unfiltered: the lazy full load must produce the complete table
+    assert(spark.read.format("graft").load(root).count() === t.read().count())
+    // pending deltas: provider must route to the resolved relation
+    val upd = for (i <- 0 until 5) yield ev(500 + i, "r03", f"p$i%02d", s"upd$i")
+    t.mergeDeferred(batch(upd), "e", 99)
+    val viaSource = spark.read.format("graft").load(root)
+      .filter(col("repo") === "r03").select("content").as[String].collect().toSet
+    val direct = t.read().filter(col("repo") === "r03")
+      .select("content").as[String].collect().toSet
+    assert(viaSource === direct)
+    assert((0 until 5).forall(i => viaSource.contains(s"upd$i")))
+  }
+
   test("compaction window: rewritten manifests parse, cold adds are skipped by maxVer") {
     val (t, root) = multiManifestTable()
     val before = t.head().version
