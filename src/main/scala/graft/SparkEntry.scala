@@ -42,6 +42,7 @@ object SparkEntry {
     "q_restore"            -> Queries.restoreState _,
     "q_restore_feed"       -> Queries.restoreFeed _,
     "q_check_constraint"   -> Queries.checkConstraintQ _,
+    "q_schema_drop"        -> Queries.schemaDropQ _,
     // --- Borderlands domain parity (SURVEY §2.2 P*, §2.3 J1/J2, §2.7 U2,
     // §2.8 F17/F19) ---
     "q_status_extract"     -> Queries.statusExtract _,
@@ -300,6 +301,29 @@ object SparkEntry {
         |  SELECT repo, path, last_commit, lang, op, sha256(content) AS content_sha,
         |    row_number() OVER (PARTITION BY repo, path ORDER BY event_id DESC) AS rn
         |  FROM mapped)
+        |WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+    // dropColumn: the dropped column contributes nothing — the oracle is
+    // plain last-wins over base + late events, and n_cols pins the final
+    // schema width (5 base columns; 6 would mean the drop failed or the
+    // quarantined re-add slipped through)
+    "q_schema_drop" ->
+      """WITH mapped AS (
+        |  SELECT 'r' || CAST(user_id % 25 AS VARCHAR) AS repo,
+        |    'p' || CAST(user_id AS VARCHAR) AS path,
+        |    event_id AS lsn,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+        |    CAST(event_id AS VARCHAR) AS last_commit,
+        |    event_type AS lang, props AS content
+        |  FROM events),
+        |late AS (
+        |  SELECT repo, path, lsn + 2000000000000 AS lsn, op,
+        |    'z' || last_commit AS last_commit, lang, upper(content) AS content
+        |  FROM mapped WHERE lsn % 11 = 0),
+        |unioned AS (SELECT * FROM mapped UNION ALL SELECT * FROM late)
+        |SELECT repo, path, last_commit, lang, content_sha, 5::BIGINT AS n_cols FROM (
+        |  SELECT repo, path, last_commit, lang, op, sha256(content) AS content_sha,
+        |    row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+        |  FROM unioned)
         |WHERE rn = 1 AND op <> 'delete'""".stripMargin,
     // RESTORE: the rolled-back middle batch must leave no trace — the final
     // state is last-LSN-wins over the surviving event subset only
@@ -1087,6 +1111,53 @@ object Queries {
     * the SQL oracle's filtered replay does; deletes are exempt per SQL CHECK
     * semantics). The query hard-asserts that quarantine actually fired.
     */
+  /** dropColumn schema evolution end-to-end: add `stars`, populate it from
+    * lsn-gated extras, DROP it (metadata-only logical drop with a persisted
+    * tombstone), then attempt a re-add — which must QUARANTINE (stale
+    * physical values in not-yet-rewritten files would resurrect) — while
+    * late updates keep applying with their extras ignored. The oracle is
+    * last-LSN-wins SQL over the base+late events with NO stars column, and
+    * `n_cols` pins the final schema width so a failed drop (or a succeeded
+    * re-add) hash-mismatches instead of passing silently.
+    */
+  def schemaDropQ(s: SparkSession, d: String): DataFrame = {
+    val work = scratchDir("dropq", d)
+    val t = new graft.lake.LakeTable(s, s"$work/table")
+    t.create(graft.lake.LakeTable.baseSchema)
+    val B = 1000000000000L
+    def sc(lsn: Long, payload: String): DataFrame =
+      s.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(
+          lsn, 0L, null, "schema_change", null, null, null, null, null, payload, null)),
+        graft.events.EventLog.eventSchema)
+    val log = mappedChangeLog(s, d)
+      .withColumn("extra",
+        when(col("op") === "insert",
+          concat(lit("{\"stars\": "), (col("lsn") % 100).cast("string"), lit("}"))))
+      .localCheckpoint()
+    // batch 0: add stars + even-lsn events (extras populate the column)
+    t.merge(sc(0L, """{"addColumn":{"name":"stars","type":"long"}}""")
+      .unionByName(log.filter(col("lsn") % 2 === 0)), "dropq", 0)
+    val preDrop = t.head().version
+    require(t.readVersion(preDrop).filter(col("stars").isNotNull).limit(1).count() > 0,
+      "stars never populated before the drop — value hiding would go unexercised")
+    // batch 1: odd-lsn events + DROP
+    t.merge(log.filter(col("lsn") % 2 === 1)
+      .unionByName(sc(B, """{"dropColumn":{"name":"stars"}}""")), "dropq", 1)
+    // batch 2: refused re-add + late updates whose stars extras are ignored
+    val late = log.filter(col("event_id") % 11 === 0)
+      .withColumn("lsn", col("event_id") + lit(2 * B))
+      .withColumn("commit", concat(lit("z"), col("event_id").cast("string")))
+      .withColumn("content", upper(col("content")))
+    val s2 = t.merge(sc(B + 1, """{"addColumn":{"name":"stars","type":"long"}}""")
+      .unionByName(late), "dropq", 2)
+    require(s2.schemaQuarantined >= 1, "re-add of a dropped column must quarantine")
+    require(!t.read().columns.contains("stars"), "dropped column leaked into reads")
+    t.read().select(col("repo"), col("path"), col("commit").as("last_commit"),
+      col("lang"), sha2(col("content"), 256).as("content_sha"),
+      lit(t.read().columns.length.toLong).as("n_cols"))
+  }
+
   def checkConstraintQ(s: SparkSession, d: String): DataFrame = {
     val work = scratchDir("checkq", d)
     val t = new graft.lake.LakeTable(s, s"$work/table")

@@ -23,6 +23,7 @@ object ReplayOracle {
     // non-whitelisted is quarantined, i.e. ignored here too)
     var addLsn = Vector.empty[(String, DataType, Long)]
     var widenAt = Map.empty[String, (Long, DataType)] // name -> (lsn, FROM type)
+    var droppedNames = Set.empty[String] // drop tombstones: re-adds refused
     for (r <- sorted if r.getString(3) == "schema_change" && !r.isNullAt(9)) {
       // any unparseable/unknown payload is IGNORED, mirroring the engine's
       // quarantine (an oracle that throws where the engine proceeds cannot
@@ -32,10 +33,22 @@ object ReplayOracle {
         val sc = JsonMethods.parse(r.getString(9))
         val add = sc \ "addColumn"
         val widen = sc \ "widenColumn"
+        val drop = sc \ "dropColumn"
         if (add != JNothing) {
           val name = (add \ "name").extract[String]
-          if (!addLsn.exists(_._1 == name) && !LakeTable.baseSchema.fieldNames.contains(name))
+          if (!addLsn.exists(_._1 == name) && !droppedNames.contains(name) &&
+              !LakeTable.baseSchema.fieldNames.contains(name))
             addLsn :+= ((name, LakeTable.parseTypeName((add \ "type").extract[String]), r.getLong(0)))
+        } else if (drop != JNothing) {
+          // mirrors the engine: only LOG-ADDED columns drop (base-schema
+          // drops quarantine); the drop leaves a tombstone so a later
+          // re-add is refused (stale physical values must not resurrect)
+          val name = (drop \ "name").extract[String]
+          if (addLsn.exists(_._1 == name)) {
+            addLsn = addLsn.filterNot(_._1 == name)
+            widenAt -= name
+            droppedNames += name
+          }
         } else if (widen != JNothing) {
           val name = (widen \ "name").extract[String]
           val target = LakeTable.parseTypeName((widen \ "type").extract[String])

@@ -116,6 +116,10 @@ final class GraftFileIndex(
   override lazy val sizeInBytes: Long =
     if (headerOnly) {
       val b = table.log.describe(snapshot.version).bytes
-      if (b >= 0) b else live.map(e => if (e.bytes > 0) e.bytes else e.rows * 1024L).sum
+      // trust only a POSITIVE aggregate: 0 can mean "legacy entries with no
+      // recorded bytes summed to nothing", and under-estimating here turns
+      // into a broadcast of a possibly huge table (OOM) — fall back to the
+      // per-file heuristic, which over-estimates by design
+      if (b > 0) b else live.map(e => if (e.bytes > 0) e.bytes else e.rows * 1024L).sum
     } else live.map(e => if (e.bytes > 0) e.bytes else e.rows * 1024L).sum
 }

@@ -877,7 +877,8 @@ final class LakeTable(spark: SparkSession, val root: String,
       maxLsn = math.max(snap.maxLsn, batchMaxLsn),
       widenedAt = evo.widened,
       operation = operation,
-      constraints = snap.constraints)
+      constraints = snap.constraints,
+      droppedAtLsn = evo.dropped)
     if (!log.tryCommit(next)) return None
 
     Some(MergeStats(epoch, batchId, next.version,
@@ -924,15 +925,24 @@ final class LakeTable(spark: SparkSession, val root: String,
     * existing column's type within the SAFE-WIDENING whitelist (int→long,
     * float→double; a new column is already the null→anything case) —
     * metadata-only, since Spark's Parquet reader natively reads the old
-    * physical type into the widened logical one. Narrowing / unknown types
-    * / unknown columns / unrecognized change shapes are QUARANTINED: counted
-    * into lineage and logged, never failing the stream (SURVEY §7.7(3)).
+    * physical type into the widened logical one. `dropColumn` removes a
+    * LOG-ADDED column metadata-only (the schema projection stops reading the
+    * physical bytes; files rewritten later physically shed it) and leaves a
+    * drop TOMBSTONE: re-adding the same name would silently resurrect stale
+    * stored values in not-yet-rewritten files, so a re-add quarantines —
+    * the honest contract for a NAME-mapped format (Delta refuses drops
+    * entirely without column-mapping mode; Iceberg needs field IDs).
+    * Narrowing / unknown types / unknown columns / base-schema drops /
+    * constraint-referenced drops / unrecognized change shapes are
+    * QUARANTINED: counted into lineage and logged, never failing the stream
+    * (SURVEY §7.7(3)).
     */
   private def evolveSchema(
       snap: Snapshot, scRows: Seq[org.apache.spark.sql.Row]): SchemaEvolution = {
     var schema = snap.schema
     var addedAt = snap.addedAtLsn
     var widened = snap.widenedAt
+    var dropped = snap.droppedAtLsn
     var scApplied = 0L
     var scQuarantined = 0L
     def quarantine(lsn: Long, why: String): Unit = {
@@ -949,12 +959,38 @@ final class LakeTable(spark: SparkSession, val root: String,
         val sc = JsonMethods.parse(r.getString(1))
         val add = sc \ "addColumn"
         val widen = sc \ "widenColumn"
+        val drop = sc \ "dropColumn"
         if (add != JNothing) {
           val name = (add \ "name").extract[String]
-          if (!schema.fieldNames.contains(name)) {
+          if (dropped.contains(name))
+            quarantine(r.getLong(0), s"addColumn $name: the name was dropped at " +
+              s"lsn ${dropped(name)} and live files may still hold its old " +
+              "physical values — re-adding would resurrect them (rename the " +
+              "new column, or rebuild the table)")
+          else if (!schema.fieldNames.contains(name)) {
             val dt = parseTypeName((add \ "type").extract[String])
             schema = StructType(schema.fields.toSeq :+ StructField(name, dt, nullable = true))
             addedAt += (name -> r.getLong(0))
+            scApplied += 1
+          }
+        } else if (drop != JNothing) {
+          val name = (drop \ "name").extract[String]
+          val referencing = constraintsReferencing(snap, name)
+          if (!schema.fieldNames.contains(name))
+            quarantine(r.getLong(0), s"dropColumn $name: no such column")
+          else if (!addedAt.contains(name))
+            quarantine(r.getLong(0), s"dropColumn $name: base-schema column " +
+              "(drops apply to log-added columns only — base columns feed " +
+              "the fixed-type event frame)")
+          else if (referencing.nonEmpty)
+            quarantine(r.getLong(0), s"dropColumn $name: referenced by CHECK " +
+              s"constraint(s) ${referencing.mkString(", ")} — drop the " +
+              "constraint first")
+          else {
+            schema = StructType(schema.fields.filterNot(_.name == name))
+            addedAt -= name
+            widened -= name
+            dropped += (name -> r.getLong(0))
             scApplied += 1
           }
         } else if (widen != JNothing) {
@@ -993,8 +1029,22 @@ final class LakeTable(spark: SparkSession, val root: String,
           quarantine(r.getLong(0), s"malformed JSON: ${r.getString(1).take(120)}")
       }
     }
-    SchemaEvolution(schema, addedAt, widened, scApplied, scQuarantined)
+    SchemaEvolution(schema, addedAt, widened, scApplied, scQuarantined, dropped)
   }
+
+  /** Names of CHECK constraints whose expression references `name` — a drop
+    * of such a column would make every later write fail analysis, so the
+    * drop quarantines instead. Parse-only (no resolution): unresolved
+    * attribute names are exactly what the stored SQL strings contain.
+    */
+  private def constraintsReferencing(snap: Snapshot, name: String): Seq[String] =
+    snap.constraints.toSeq.collect {
+      case (cname, sql) if scala.util.Try(
+        spark.sessionState.sqlParser.parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.last
+        }.contains(name)).getOrElse(true) => cname // unparseable → fail safe
+    }.sorted
 
   private def mergeOnce(snap: Snapshot, batch: DataFrame, epoch: String,
                         batchId: Long, saltBuckets: Int,
@@ -1040,7 +1090,8 @@ final class LakeTable(spark: SparkSession, val root: String,
     val widened = evo.widened
     val scApplied = evo.applied
     val scQuarantined = evo.quarantined
-    val evolved = snap.copy(schema = schema, addedAtLsn = addedAt, widenedAt = widened)
+    val evolved = snap.copy(schema = schema, addedAtLsn = addedAt,
+      widenedAt = widened, droppedAtLsn = evo.dropped)
     // ---- the change stream for this batch (all data events) ----
     val data = batch.filter(col("op") =!= "schema_change")
 
@@ -1143,7 +1194,8 @@ final class LakeTable(spark: SparkSession, val root: String,
       maxLsn = math.max(snap.maxLsn, batchMaxLsn),
       widenedAt = widened,
       operation = operation,
-      constraints = snap.constraints)
+      constraints = snap.constraints,
+      droppedAtLsn = evo.dropped)
     if (!log.tryCommit(next)) return None // lost the race: caller recomputes
 
     Some(MergeStats(epoch, batchId, next.version,
@@ -1478,7 +1530,8 @@ object LakeTable {
     */
   private[lake] final case class SchemaEvolution(
       schema: StructType, addedAt: Map[String, Long],
-      widened: Map[String, (Long, String)], applied: Long, quarantined: Long)
+      widened: Map[String, (Long, String)], applied: Long, quarantined: Long,
+      dropped: Map[String, Long])
 
   /** UTF-8 unsigned lexicographic comparison — the order Parquet uses for
     * binary stats AND the order Spark's UTF8String sorts by. Java String

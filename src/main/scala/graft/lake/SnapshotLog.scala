@@ -67,7 +67,8 @@ final case class Snapshot(
     widenedAt: Map[String, (Long, String)] = Map.empty,
     operation: String = "",
     constraints: Map[String, String] = Map.empty,
-    manifestSummaries: Seq[ManifestSummary] = Nil)
+    manifestSummaries: Seq[ManifestSummary] = Nil,
+    droppedAtLsn: Map[String, Long] = Map.empty)
 
 /** Per-manifest summary embedded in the snapshot JSON — the Iceberg
   * manifest-LIST analog. Carries enough metadata to decide WITHOUT parsing a
@@ -571,6 +572,11 @@ final class SnapshotLog(spark: SparkSession, root: String) {
         ("epoch" -> e) ~ ("batchId" -> b) }) ~
       ("widenedAt" -> s.widenedAt.toSeq.sortBy(_._1).map { case (n, (l, f)) =>
         ("name" -> n) ~ ("lsn" -> l) ~ ("from" -> f) }) ~
+      // drop TOMBSTONES: names whose physical values may still sit in live
+      // files — re-adding one would silently resurrect those values, so the
+      // refusal must survive restarts and be honored by EVERY writer (the
+      // "dropped-columns" writer feature below gates older builds out)
+      ("droppedAtLsn" -> s.droppedAtLsn) ~
       ("constraints" -> s.constraints) ~
       // protocol gate (the Delta reader/writer-version analog), derived from
       // the snapshot's actual CONTENT, not writer identity — a delta-free,
@@ -587,6 +593,10 @@ final class SnapshotLog(spark: SparkSession, root: String) {
         val f = Seq.newBuilder[String]
         f ++= readerFeaturesOf(s)
         if (s.constraints.nonEmpty) f += "check-constraints"
+        // a writer ignorant of drop tombstones would (a) not re-render them,
+        // losing the re-add refusal, and (b) happily re-add the column and
+        // resurrect stale stored values — gate commits, reading stays open
+        if (s.droppedAtLsn.nonEmpty) f += "dropped-columns"
         f.result()
       }) ~
       ("manifests" -> manifests.map(_._1)) ~
@@ -669,6 +679,10 @@ final class SnapshotLog(spark: SparkSession, root: String) {
       constraints = (j \ "constraints") match {
         case o: JObject => o.extract[Map[String, String]]
         case _ => Map.empty // pre-constraint snapshots
+      },
+      droppedAtLsn = (j \ "droppedAtLsn") match {
+        case o: JObject => o.extract[Map[String, Long]]
+        case _ => Map.empty // pre-drop snapshots
       },
       manifestSummaries = (j \ "manifestList") match {
         case JArray(ms) => ms.map { m =>
@@ -761,9 +775,16 @@ object SnapshotLog {
     */
   val supportedFeatures: Set[String] = Set("merge-on-read-deltas", "check-constraints")
 
+  /** "dropped-columns" is writer-only: READING a post-drop snapshot needs no
+    * drop knowledge (its schema JSON already lacks the column and the parquet
+    * schema projection skips the physical bytes), but a WRITER must carry the
+    * drop tombstones forward and refuse re-adds, or stale stored values
+    * resurrect.
+    */
+
   /** Writer features this build can preserve when extending a table's
     * history — a superset of [[supportedFeatures]]: a writer carries forward
     * what it reads, plus enforces write-time invariants (CHECK constraints).
     */
-  val supportedWriterFeatures: Set[String] = supportedFeatures
+  val supportedWriterFeatures: Set[String] = supportedFeatures + "dropped-columns"
 }
