@@ -43,6 +43,7 @@ object SparkEntry {
     "q_restore_feed"       -> Queries.restoreFeed _,
     "q_check_constraint"   -> Queries.checkConstraintQ _,
     "q_schema_drop"        -> Queries.schemaDropQ _,
+    "q_schema_rename"      -> Queries.schemaRenameQ _,
     // --- Borderlands domain parity (SURVEY §2.2 P*, §2.3 J1/J2, §2.7 U2,
     // §2.8 F17/F19) ---
     "q_status_extract"     -> Queries.statusExtract _,
@@ -301,6 +302,30 @@ object SparkEntry {
         |  SELECT repo, path, last_commit, lang, op, sha256(content) AS content_sha,
         |    row_number() OVER (PARTITION BY repo, path ORDER BY event_id DESC) AS rn
         |  FROM mapped)
+        |WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+    // renameColumn: values from BOTH eras land in ONE column; the oracle
+    // recomputes the extras value arithmetically (lsn % 100, engine gates
+    // extras to lsn > the add-lsn 0), so era-gate or aliasing bugs mismatch
+    "q_schema_rename" ->
+      """WITH mapped AS (
+        |  SELECT 'r' || CAST(user_id % 25 AS VARCHAR) AS repo,
+        |    'p' || CAST(user_id AS VARCHAR) AS path,
+        |    event_id AS lsn,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+        |    CAST(event_id AS VARCHAR) AS last_commit,
+        |    event_type AS lang, props AS content
+        |  FROM events),
+        |late AS (
+        |  SELECT repo, path, lsn + 2000000000000 AS lsn, op,
+        |    'z' || last_commit AS last_commit, lang, upper(content) AS content
+        |  FROM mapped WHERE lsn % 11 = 0),
+        |unioned AS (SELECT * FROM mapped UNION ALL SELECT * FROM late)
+        |SELECT repo, path, last_commit, lang, content_sha,
+        |  CASE WHEN lsn > 0 THEN lsn % 100 END::BIGINT AS rating FROM (
+        |  SELECT repo, path, last_commit, lang, op, lsn,
+        |    sha256(content) AS content_sha,
+        |    row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+        |  FROM unioned)
         |WHERE rn = 1 AND op <> 'delete'""".stripMargin,
     // dropColumn: the dropped column contributes nothing — the oracle is
     // plain last-wins over base + late events, and n_cols pins the final
@@ -1156,6 +1181,48 @@ object Queries {
     t.read().select(col("repo"), col("path"), col("commit").as("last_commit"),
       col("lang"), sha2(col("content"), 256).as("content_sha"),
       lit(t.read().columns.length.toLong).as("n_cols"))
+  }
+
+  /** renameColumn end-to-end: add `stars`, populate it, RENAME to `rating`
+    * (metadata-only, value-preserving — files keep the original physical
+    * name, reads alias back), then keep populating under the NEW extras key.
+    * Both eras' values must land in ONE column; the oracle recomputes the
+    * value arithmetically (extras are synthesized as lsn % 100 in whichever
+    * key was current), so a broken era gate or a nulled rename
+    * hash-mismatches.
+    */
+  def schemaRenameQ(s: SparkSession, d: String): DataFrame = {
+    val work = scratchDir("renq", d)
+    val t = new graft.lake.LakeTable(s, s"$work/table")
+    t.create(graft.lake.LakeTable.baseSchema)
+    val B = 1000000000000L
+    def sc(lsn: Long, payload: String): DataFrame =
+      s.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(
+          lsn, 0L, null, "schema_change", null, null, null, null, null, payload, null)),
+        graft.events.EventLog.eventSchema)
+    def eraExtra(df: DataFrame): DataFrame = df.withColumn("extra",
+      when(col("op") === "insert",
+        when(col("lsn") <= B,
+          concat(lit("{\"stars\": "), (col("lsn") % 100).cast("string"), lit("}")))
+        .otherwise(
+          concat(lit("{\"rating\": "), (col("lsn") % 100).cast("string"), lit("}")))))
+    val log = eraExtra(mappedChangeLog(s, d)).localCheckpoint()
+    t.merge(sc(0L, """{"addColumn":{"name":"stars","type":"long"}}""")
+      .unionByName(log.filter(col("lsn") % 2 === 0)), "renq", 0)
+    t.merge(log.filter(col("lsn") % 2 === 1)
+      .unionByName(sc(B, """{"renameColumn":{"name":"stars","to":"rating"}}""")), "renq", 1)
+    val late = eraExtra(log.filter(col("event_id") % 11 === 0)
+      .withColumn("lsn", col("event_id") + lit(2 * B))
+      .withColumn("commit", concat(lit("z"), col("event_id").cast("string")))
+      .withColumn("content", upper(col("content"))))
+    t.merge(late, "renq", 2)
+    require(t.head().physicalName == Map("rating" -> "stars"),
+      "rename lineage missing — the physical mapping was not recorded")
+    require(!t.read().columns.contains("stars") && t.read().columns.contains("rating"),
+      "renamed column not visible under its new name")
+    t.read().select(col("repo"), col("path"), col("commit").as("last_commit"),
+      col("lang"), sha2(col("content"), 256).as("content_sha"), col("rating"))
   }
 
   def checkConstraintQ(s: SparkSession, d: String): DataFrame = {

@@ -23,7 +23,12 @@ object ReplayOracle {
     // non-whitelisted is quarantined, i.e. ignored here too)
     var addLsn = Vector.empty[(String, DataType, Long)]
     var widenAt = Map.empty[String, (Long, DataType)] // name -> (lsn, FROM type)
-    var droppedNames = Set.empty[String] // drop tombstones: re-adds refused
+    var droppedNames = Set.empty[String] // drop tombstones (PHYSICAL names)
+    // current name -> ascending (renameLsn, priorName): the extras key a
+    // pre-rename row parses (mirrors the engine's era-gated projection)
+    var renameAt = Map.empty[String, Seq[(Long, String)]]
+    def physOf(n: String): String =
+      renameAt.get(n).flatMap(_.headOption.map(_._2)).getOrElse(n)
     for (r <- sorted if r.getString(3) == "schema_change" && !r.isNullAt(9)) {
       // any unparseable/unknown payload is IGNORED, mirroring the engine's
       // quarantine (an oracle that throws where the engine proceeds cannot
@@ -34,20 +39,41 @@ object ReplayOracle {
         val add = sc \ "addColumn"
         val widen = sc \ "widenColumn"
         val drop = sc \ "dropColumn"
+        val rename = sc \ "renameColumn"
         if (add != JNothing) {
           val name = (add \ "name").extract[String]
           if (!addLsn.exists(_._1 == name) && !droppedNames.contains(name) &&
+              !renameAt.values.exists(_.headOption.exists(_._2 == name)) &&
               !LakeTable.baseSchema.fieldNames.contains(name))
             addLsn :+= ((name, LakeTable.parseTypeName((add \ "type").extract[String]), r.getLong(0)))
         } else if (drop != JNothing) {
           // mirrors the engine: only LOG-ADDED columns drop (base-schema
-          // drops quarantine); the drop leaves a tombstone so a later
-          // re-add is refused (stale physical values must not resurrect)
+          // drops quarantine); the drop tombstones the PHYSICAL name so a
+          // later re-add of it is refused (stale values must not resurrect)
           val name = (drop \ "name").extract[String]
           if (addLsn.exists(_._1 == name)) {
+            droppedNames += physOf(name)
             addLsn = addLsn.filterNot(_._1 == name)
             widenAt -= name
-            droppedNames += name
+            renameAt -= name
+          }
+        } else if (rename != JNothing) {
+          // mirrors the engine: value-preserving metadata rename of a
+          // log-added column; target must be free of logical, physical,
+          // tombstoned, and base names
+          val name = (rename \ "name").extract[String]
+          val to = (rename \ "to").extract[String]
+          val targetTaken = addLsn.exists(_._1 == to) ||
+            droppedNames.contains(to) ||
+            renameAt.values.exists(_.headOption.exists(_._2 == to)) ||
+            LakeTable.baseSchema.fieldNames.contains(to)
+          addLsn.zipWithIndex.find(_._1._1 == name) match {
+            case Some(((_, dt, at), i)) if !targetTaken =>
+              addLsn = addLsn.updated(i, (to, dt, at))
+              widenAt.get(name).foreach { w => widenAt += (to -> w); widenAt -= name }
+              renameAt += (to -> (renameAt.getOrElse(name, Nil) :+ ((r.getLong(0), name))))
+              renameAt -= name
+            case _ => () // unknown/base column or taken target: quarantined
           }
         } else if (widen != JNothing) {
           val name = (widen \ "name").extract[String]
@@ -87,8 +113,13 @@ object ReplayOracle {
             .asInstanceOf[JObject].obj.toMap)
           .getOrElse(Map.empty)
         val evolvedVals = addLsn.map { case (name, dt, at) =>
+          // era-gated extras key: the name current at THIS row's lsn
+          // (earliest rename at-or-after the row wins — engine parity)
+          val eraKey = renameAt.getOrElse(name, Nil).collectFirst {
+            case (rLsn, prior) if r.getLong(0) <= rLsn => prior
+          }.getOrElse(name)
           if (r.getLong(0) > at)
-            extras.get(name).map { jv =>
+            extras.get(eraKey).map { jv =>
               widenAt.get(name) match {
                 // pre-widen rows parse through the ORIGINAL type, then widen
                 // (matching both the engine's lsn-gated cast chain and how a

@@ -86,6 +86,10 @@ final class GraftSourceProvider extends RelationProvider
         val headerOpt = versionOpt.orElse(table.log.latestVersion())
           .flatMap(table.log.readHeader)
           .filterNot(_.manifestSummaries.exists(_.hasDeltas))
+          // renamed columns: files store the ORIGINAL physical names; a bare
+          // file-scan relation reads by the CURRENT name and would null the
+          // column — route through the aliased row-based fallback below
+          .filterNot(_.physicalName.nonEmpty)
         headerOpt match {
           case Some(h) =>
             return HadoopFsRelation(
@@ -98,7 +102,7 @@ final class GraftSourceProvider extends RelationProvider
           case None => () // pre-summary snapshot or pending deltas: full read
         }
         val snap = versionOpt.map(table.log.read).getOrElse(table.head())
-        if (snap.files.exists(_.delta))
+        if (snap.files.exists(_.delta) || snap.physicalName.nonEmpty)
           // deferred-merge deltas pending: correct results need the per-key
           // resolution window, which a bare file-scan relation cannot carry —
           // serve the RESOLVED live state through the row-based fallback

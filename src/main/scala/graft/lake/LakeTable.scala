@@ -80,6 +80,23 @@ final class LakeTable(spark: SparkSession, val root: String,
       StructField("_deleted", BooleanType, nullable = false) :+
       StructField("_ver", LongType, nullable = false))
 
+  /** Rename LOGICAL field names to their PHYSICAL storage names (identity
+    * when nothing is renamed). Engine columns never rename.
+    */
+  private def toPhysicalSchema(mapping: Map[String, String], st: StructType): StructType =
+    if (mapping.isEmpty) st
+    else StructType(st.fields.map(f =>
+      mapping.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+
+  /** Alias a LOGICAL-named frame to PHYSICAL column names for a parquet
+    * write — the single write-side half of the rename boundary (reads alias
+    * back inside readStored/readStoredTagged/readAt). No-op Project when the
+    * mapping is empty.
+    */
+  private def toPhysicalCols(mapping: Map[String, String], df: DataFrame): DataFrame =
+    if (mapping.isEmpty) df
+    else df.select(df.columns.toSeq.map(c => col(c).as(mapping.getOrElse(c, c))): _*)
+
   /** Read stored rows of the given files under the given snapshot's schema;
     * files written before a schema evolution lack the added columns and the
     * Parquet reader null-fills them (union-by-name evolution, SURVEY §2.7 U2).
@@ -93,7 +110,11 @@ final class LakeTable(spark: SparkSession, val root: String,
     */
   private def readStored(snap: Snapshot, entries: Seq[DataFileEntry]): DataFrame = {
     val st = storageSchema(snap)
-    val noDel = StructType(st.fields.filterNot(_.name == "_deleted"))
+    // files store PHYSICAL names (a renamed column keeps its add-time name in
+    // every file); read physical, alias back to logical in the final select —
+    // a plain Project over the vectorized scan, no-op when nothing is renamed
+    val noDel = toPhysicalSchema(snap.physicalName,
+      StructType(st.fields.filterNot(_.name == "_deleted")))
     val (tombs, live) = entries.partition(_.tomb)
     def side(fs: Seq[DataFileEntry], deleted: Boolean): Option[DataFrame] =
       if (fs.isEmpty) None
@@ -101,7 +122,7 @@ final class LakeTable(spark: SparkSession, val root: String,
         .withColumn("_deleted", lit(deleted)))
     (side(live, deleted = false) ++ side(tombs, deleted = true))
       .reduceOption(_.unionByName(_))
-      .map(_.select(st.fieldNames.map(col).toSeq: _*))
+      .map(_.select(st.fieldNames.toSeq.map(n => col(snap.physicalOf(n)).as(n)): _*))
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
   }
@@ -119,7 +140,8 @@ final class LakeTable(spark: SparkSession, val root: String,
     */
   private def readStoredTagged(snap: Snapshot, entries: Seq[DataFileEntry]): DataFrame = {
     val st = storageSchema(snap)
-    val noDel = StructType(st.fields.filterNot(_.name == "_deleted"))
+    val noDel = toPhysicalSchema(snap.physicalName,
+      StructType(st.fields.filterNot(_.name == "_deleted")))
     val grouped = entries.groupBy(e => (e.tomb, e.delta)).toSeq.sortBy(_._1)
     grouped.map { case ((tomb, delta), fs) =>
       spark.read.schema(noDel).parquet(fs.map(_.path): _*)
@@ -127,7 +149,8 @@ final class LakeTable(spark: SparkSession, val root: String,
         .withColumn("__pref", if (delta) col("_ver") else lit(-1L))
     }
       .reduceOption(_.unionByName(_))
-      .map(_.select((st.fieldNames.toSeq :+ "__pref").map(col): _*))
+      .map(_.select(st.fieldNames.toSeq.map(n => col(snap.physicalOf(n)).as(n))
+        :+ col("__pref"): _*))
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(st.fields.toSeq :+ StructField("__pref", LongType, nullable = false))))
@@ -515,7 +538,13 @@ final class LakeTable(spark: SparkSession, val root: String,
     if (live.isEmpty)
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), snap.schema)
-    else spark.read.schema(snap.schema).parquet(live.map(_.path): _*)
+    else {
+      val scan = spark.read.schema(toPhysicalSchema(snap.physicalName, snap.schema))
+        .parquet(live.map(_.path): _*)
+      if (snap.physicalName.isEmpty) scan
+      else scan.select(
+        snap.schema.fieldNames.toSeq.map(n => col(snap.physicalOf(n)).as(n)): _*)
+    }
   }
 
   /** Schema of the change feed (changesBetween / the graft-changes streaming
@@ -840,7 +869,7 @@ final class LakeTable(spark: SparkSession, val root: String,
         if (saltBuckets == -1) 0 else saltBuckets)
 
     val src0 = changes.select(
-      storageProjection(evo.schema, evo.addedAt, evo.widened) ++ Seq(
+      storageProjection(evo.schema, evo.addedAt, evo.widened, evo.renames) ++ Seq(
         col("lsn").as("_lsn"),
         (col("op") === "delete").as("_deleted"),
         lit(snap.version + 1).as("_ver"),
@@ -862,7 +891,7 @@ final class LakeTable(spark: SparkSession, val root: String,
 
     val newDir = s"${log.dataDir}/delta-v${snap.version + 1}-b$batchId-" +
       java.util.UUID.randomUUID().toString.take(8)
-    timed("delta-write")(dataWriter(winners).parquet(newDir))
+    timed("delta-write")(dataWriter(toPhysicalCols(evo.physical, winners)).parquet(newDir))
     val newFiles = timed("footer-stats")(
       LakeTable.footerStats(spark, newDir, statColumns = statColumns)
         .map(_.copy(delta = true)))
@@ -878,7 +907,9 @@ final class LakeTable(spark: SparkSession, val root: String,
       widenedAt = evo.widened,
       operation = operation,
       constraints = snap.constraints,
-      droppedAtLsn = evo.dropped)
+      droppedAtLsn = evo.dropped,
+      physicalName = evo.physical,
+      renamedAt = evo.renames)
     if (!log.tryCommit(next)) return None
 
     Some(MergeStats(epoch, batchId, next.version,
@@ -901,12 +932,23 @@ final class LakeTable(spark: SparkSession, val root: String,
     */
   private def storageProjection(
       schema: StructType, addedAt: Map[String, Long],
-      widened: Map[String, (Long, String)]): Seq[org.apache.spark.sql.Column] =
+      widened: Map[String, (Long, String)],
+      renames: Map[String, Seq[(Long, String)]] = Map.empty)
+      : Seq[org.apache.spark.sql.Column] =
     schema.fields.toSeq.map { f =>
       if (keyCols.contains(f.name)) col(f.name)
       else addedAt.get(f.name) match {
         case Some(atLsn) =>
-          val raw = get_json_object(col("extra"), s"$$.${f.name}")
+          // era-gated extras key: a row produced BEFORE a rename carried the
+          // THEN-current name in its JSON extra — parse the name active at
+          // the row's lsn (ascending history; foldRight tests earliest
+          // rename first) so replay is invariant to batch splits
+          val raw = renames.getOrElse(f.name, Nil)
+            .foldRight(get_json_object(col("extra"), s"$$.${f.name}")) {
+              case ((rLsn, prior), later) =>
+                when(col("lsn") <= lit(rLsn),
+                  get_json_object(col("extra"), s"$$.$prior")).otherwise(later)
+            }
           val typed = widened.get(f.name) match {
             case Some((wLsn, fromName)) =>
               when(col("lsn") > lit(wLsn), raw.cast(f.dataType))
@@ -943,6 +985,9 @@ final class LakeTable(spark: SparkSession, val root: String,
     var addedAt = snap.addedAtLsn
     var widened = snap.widenedAt
     var dropped = snap.droppedAtLsn
+    var physical = snap.physicalName
+    var renames = snap.renamedAt
+    def physOf(n: String): String = physical.getOrElse(n, n)
     var scApplied = 0L
     var scQuarantined = 0L
     def quarantine(lsn: Long, why: String): Unit = {
@@ -960,6 +1005,7 @@ final class LakeTable(spark: SparkSession, val root: String,
         val add = sc \ "addColumn"
         val widen = sc \ "widenColumn"
         val drop = sc \ "dropColumn"
+        val rename = sc \ "renameColumn"
         if (add != JNothing) {
           val name = (add \ "name").extract[String]
           if (dropped.contains(name))
@@ -967,6 +1013,10 @@ final class LakeTable(spark: SparkSession, val root: String,
               s"lsn ${dropped(name)} and live files may still hold its old " +
               "physical values — re-adding would resurrect them (rename the " +
               "new column, or rebuild the table)")
+          else if (physical.values.exists(_ == name))
+            quarantine(r.getLong(0), s"addColumn $name: a renamed column still " +
+              "stores its values under this physical name — adding it would " +
+              "make two columns share one storage column")
           else if (!schema.fieldNames.contains(name)) {
             val dt = parseTypeName((add \ "type").extract[String])
             schema = StructType(schema.fields.toSeq :+ StructField(name, dt, nullable = true))
@@ -990,7 +1040,48 @@ final class LakeTable(spark: SparkSession, val root: String,
             schema = StructType(schema.fields.filterNot(_.name == name))
             addedAt -= name
             widened -= name
-            dropped += (name -> r.getLong(0))
+            // tombstone the PHYSICAL name: that is what the live files hold
+            // (re-adding the final LOGICAL name of a renamed column is safe —
+            // no file ever stored bytes under it)
+            dropped += (physOf(name) -> r.getLong(0))
+            physical -= name
+            renames -= name
+            scApplied += 1
+          }
+        } else if (rename != JNothing) {
+          // value-preserving rename (Iceberg-parity): METADATA-ONLY — files
+          // keep the column's ORIGINAL physical name forever; reads alias
+          // physical→logical; replayed extras parse the name that was
+          // current at each row's lsn (the rename history below), so the
+          // end state is batch-split invariant
+          val name = (rename \ "name").extract[String]
+          val to = (rename \ "to").extract[String]
+          val referencing = constraintsReferencing(snap, name)
+          if (!schema.fieldNames.contains(name))
+            quarantine(r.getLong(0), s"renameColumn $name: no such column")
+          else if (!addedAt.contains(name))
+            quarantine(r.getLong(0), s"renameColumn $name: base-schema column " +
+              "(renames apply to log-added columns only)")
+          else if (referencing.nonEmpty)
+            quarantine(r.getLong(0), s"renameColumn $name: referenced by CHECK " +
+              s"constraint(s) ${referencing.mkString(", ")} — drop the " +
+              "constraint first")
+          else if (schema.fieldNames.contains(to) ||
+                   baseSchema.fieldNames.contains(to))
+            quarantine(r.getLong(0), s"renameColumn $name → $to: target name " +
+              "already in use")
+          else if (dropped.contains(to) || physical.values.exists(_ == to))
+            quarantine(r.getLong(0), s"renameColumn $name → $to: target name " +
+              "collides with a stored physical column (dropped tombstone or " +
+              "another column's storage name)")
+          else {
+            schema = StructType(schema.fields.map(f =>
+              if (f.name == name) f.copy(name = to) else f))
+            addedAt += (to -> addedAt(name)); addedAt -= name
+            widened.get(name).foreach { w => widened += (to -> w); widened -= name }
+            physical += (to -> physOf(name)); physical -= name
+            renames += (to -> (renames.getOrElse(name, Nil) :+ ((r.getLong(0), name))))
+            renames -= name
             scApplied += 1
           }
         } else if (widen != JNothing) {
@@ -1029,7 +1120,8 @@ final class LakeTable(spark: SparkSession, val root: String,
           quarantine(r.getLong(0), s"malformed JSON: ${r.getString(1).take(120)}")
       }
     }
-    SchemaEvolution(schema, addedAt, widened, scApplied, scQuarantined, dropped)
+    SchemaEvolution(schema, addedAt, widened, scApplied, scQuarantined, dropped,
+      physical, renames)
   }
 
   /** Names of CHECK constraints whose expression references `name` — a drop
@@ -1091,7 +1183,8 @@ final class LakeTable(spark: SparkSession, val root: String,
     val scApplied = evo.applied
     val scQuarantined = evo.quarantined
     val evolved = snap.copy(schema = schema, addedAtLsn = addedAt,
-      widenedAt = widened, droppedAtLsn = evo.dropped)
+      widenedAt = widened, droppedAtLsn = evo.dropped,
+      physicalName = evo.physical, renamedAt = evo.renames)
     // ---- the change stream for this batch (all data events) ----
     val data = batch.filter(col("op") =!= "schema_change")
 
@@ -1113,7 +1206,7 @@ final class LakeTable(spark: SparkSession, val root: String,
     // pre-widen row parses through the ORIGINAL type then widens — exactly
     // how its stored physical value would read back — so the final table is
     // invariant to how the log is split into batches) ----
-    val srcCols = storageProjection(evolved.schema, addedAt, widened)
+    val srcCols = storageProjection(evolved.schema, addedAt, widened, evo.renames)
     // `_ver` = commit version that last modified the row: source rows carry
     // the committing version, target rows their stored one. Ties prefer the
     // target (__tie below), so a source row wins the merge window iff it
@@ -1180,7 +1273,7 @@ final class LakeTable(spark: SparkSession, val root: String,
     // unreferenced orphan that expireSnapshots' GC removes. ----
     val newDir = s"${log.dataDir}/v${snap.version + 1}-b$batchId-" +
       java.util.UUID.randomUUID().toString.take(8)
-    timed("merge-write")(dataWriter(merged).parquet(newDir))
+    timed("merge-write")(dataWriter(toPhysicalCols(evo.physical, merged)).parquet(newDir))
 
     val newFiles = timed("footer-stats")(LakeTable.footerStats(spark, newDir, statColumns = statColumns))
 
@@ -1195,7 +1288,9 @@ final class LakeTable(spark: SparkSession, val root: String,
       widenedAt = widened,
       operation = operation,
       constraints = snap.constraints,
-      droppedAtLsn = evo.dropped)
+      droppedAtLsn = evo.dropped,
+      physicalName = evo.physical,
+      renamedAt = evo.renames)
     if (!log.tryCommit(next)) return None // lost the race: caller recomputes
 
     Some(MergeStats(epoch, batchId, next.version,
@@ -1398,9 +1493,9 @@ final class LakeTable(spark: SparkSession, val root: String,
             .sortWithinPartitions(col("__z"), col("repo"), col("path"))
             .drop("__z"))
       }
-      dataWriter(clustered.getOrElse(
+      dataWriter(toPhysicalCols(snap.physicalName, clustered.getOrElse(
         kept.repartitionByRange(nParts, col("repo"), col("path"))
-          .sortWithinPartitions("repo", "path")))
+          .sortWithinPartitions("repo", "path"))))
         .parquet(newDir)
       // stat the z-order columns too: their tightened per-file bounds are
       // the whole point (string columns; int64-family leaves are already
@@ -1531,7 +1626,9 @@ object LakeTable {
   private[lake] final case class SchemaEvolution(
       schema: StructType, addedAt: Map[String, Long],
       widened: Map[String, (Long, String)], applied: Long, quarantined: Long,
-      dropped: Map[String, Long])
+      dropped: Map[String, Long],
+      physical: Map[String, String],
+      renames: Map[String, Seq[(Long, String)]])
 
   /** UTF-8 unsigned lexicographic comparison — the order Parquet uses for
     * binary stats AND the order Spark's UTF8String sorts by. Java String

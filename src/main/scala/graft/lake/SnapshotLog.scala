@@ -68,7 +68,16 @@ final case class Snapshot(
     operation: String = "",
     constraints: Map[String, String] = Map.empty,
     manifestSummaries: Seq[ManifestSummary] = Nil,
-    droppedAtLsn: Map[String, Long] = Map.empty)
+    droppedAtLsn: Map[String, Long] = Map.empty,
+    physicalName: Map[String, String] = Map.empty,
+    renamedAt: Map[String, Seq[(Long, String)]] = Map.empty) {
+  /** Storage (parquet) column name of logical column `name`: renamed
+    * log-added columns keep their ORIGINAL add-time name in every file
+    * forever, so all files share one physical schema and rename stays
+    * metadata-only (no rewrite, single-schema reads).
+    */
+  def physicalOf(name: String): String = physicalName.getOrElse(name, name)
+}
 
 /** Per-manifest summary embedded in the snapshot JSON — the Iceberg
   * manifest-LIST analog. Carries enough metadata to decide WITHOUT parsing a
@@ -577,6 +586,13 @@ final class SnapshotLog(spark: SparkSession, root: String) {
       // refusal must survive restarts and be honored by EVERY writer (the
       // "dropped-columns" writer feature below gates older builds out)
       ("droppedAtLsn" -> s.droppedAtLsn) ~
+      // rename lineage: logical → ORIGINAL physical storage name, plus the
+      // ascending (renameLsn, priorName) history that gates which JSON-extra
+      // key a replayed pre-rename row parses (batch-split invariance)
+      ("physicalName" -> s.physicalName) ~
+      ("renamedAt" -> s.renamedAt.toSeq.sortBy(_._1).map { case (n, hist) =>
+        ("name" -> n) ~ ("history" -> hist.map { case (l, prior) =>
+          ("lsn" -> l) ~ ("prior" -> prior) }) }) ~
       ("constraints" -> s.constraints) ~
       // protocol gate (the Delta reader/writer-version analog), derived from
       // the snapshot's actual CONTENT, not writer identity — a delta-free,
@@ -617,8 +633,15 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     JsonMethods.compact(JsonMethods.render(json))
   }
 
-  private def readerFeaturesOf(s: Snapshot): Seq[String] =
-    if (s.files.exists(_.delta)) Seq("merge-on-read-deltas") else Seq.empty
+  private def readerFeaturesOf(s: Snapshot): Seq[String] = {
+    val f = Seq.newBuilder[String]
+    if (s.files.exists(_.delta)) f += "merge-on-read-deltas"
+    // a reader ignorant of the logical→physical mapping would read the
+    // renamed column's NEW name from files that store the ORIGINAL one and
+    // silently null every value — wrong rows, so this gates READS
+    if (s.physicalName.nonEmpty) f += "renamed-columns"
+    f.result()
+  }
 
   private def parseSnapshot(txt: String): Snapshot = parseSnapshot(txt, loadFiles = true)
 
@@ -683,6 +706,20 @@ final class SnapshotLog(spark: SparkSession, root: String) {
       droppedAtLsn = (j \ "droppedAtLsn") match {
         case o: JObject => o.extract[Map[String, Long]]
         case _ => Map.empty // pre-drop snapshots
+      },
+      physicalName = (j \ "physicalName") match {
+        case o: JObject => o.extract[Map[String, String]]
+        case _ => Map.empty // pre-rename snapshots
+      },
+      renamedAt = (j \ "renamedAt") match {
+        case JArray(rs) => rs.map { r =>
+          (r \ "name").extract[String] -> ((r \ "history") match {
+            case JArray(hs) => hs.map(h =>
+              ((h \ "lsn").extract[Long], (h \ "prior").extract[String]))
+            case _ => Nil
+          })
+        }.toMap
+        case _ => Map.empty // pre-rename snapshots
       },
       manifestSummaries = (j \ "manifestList") match {
         case JArray(ms) => ms.map { m =>
@@ -773,7 +810,8 @@ object SnapshotLog {
     * writers declare it only in `requiredWriterFeatures` (constraints gate
     * commits, not reads).
     */
-  val supportedFeatures: Set[String] = Set("merge-on-read-deltas", "check-constraints")
+  val supportedFeatures: Set[String] =
+    Set("merge-on-read-deltas", "check-constraints", "renamed-columns")
 
   /** "dropped-columns" is writer-only: READING a post-drop snapshot needs no
     * drop knowledge (its schema JSON already lacks the column and the parquet
