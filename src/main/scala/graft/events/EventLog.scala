@@ -50,6 +50,17 @@ object EventLog {
       // is ADDED as int, so a widen lsn after its add exercises the
       // metadata-only widening path (and one before it, the quarantine path)
       widenLsns: Seq[Long] = Seq.empty,
+      // lsns carrying {"dropColumn":{"name":"stars"}} — after the stars add
+      // this exercises the metadata-only drop + re-add-tombstone path; before
+      // it, the unknown-column quarantine. Later stars ADDs then exercise the
+      // refused re-add on both engine and oracle.
+      dropLsns: Seq[Long] = Seq.empty,
+      // lsns carrying {"renameColumn":{"name":"license","to":"lic"}} — the
+      // generated extras switch their JSON key to "lic" after the FIRST
+      // rename lsn, so a successfully applied rename exercises era-gated
+      // parsing; a quarantined one (before the license add) exercises the
+      // both-sides-null consistency instead
+      renameLsns: Seq[Long] = Seq.empty,
       seed: Long = 42L)
 
   /** Pseudo-random double in [0,1) from (seed, id, tag) — pure expression. */
@@ -72,11 +83,15 @@ object EventLog {
     val pathId = pmod(xxhash64(lit(cfg.seed), id, lit("path")), lit(cfg.pathsPerRepo.toLong))
 
     val opR = rnd(id, cfg.seed, "op")
-    val allScLsns = cfg.schemaChangeLsns ++ cfg.widenLsns
+    val allScLsns = cfg.schemaChangeLsns ++ cfg.widenLsns ++ cfg.dropLsns ++ cfg.renameLsns
     val isSchemaChange = if (allScLsns.nonEmpty)
       id.isin(allScLsns.map(Long.box): _*) else lit(false)
     val isWiden = if (cfg.widenLsns.nonEmpty)
       id.isin(cfg.widenLsns.map(Long.box): _*) else lit(false)
+    val isDrop = if (cfg.dropLsns.nonEmpty)
+      id.isin(cfg.dropLsns.map(Long.box): _*) else lit(false)
+    val isRename = if (cfg.renameLsns.nonEmpty)
+      id.isin(cfg.renameLsns.map(Long.box): _*) else lit(false)
     val op = when(isSchemaChange, lit("schema_change"))
       .when(opR < cfg.deleteRatio, lit("delete"))
       .when(opR < cfg.deleteRatio + cfg.updateRatio, lit("update"))
@@ -97,9 +112,15 @@ object EventLog {
       repeat(chunk, contentLen), lit("}\n"))
     // Values for schema-evolved columns ride in `extra` (JSON); present on a
     // subset of data events so null backfill is exercised too.
+    // after the first rename lsn, the license value rides under its NEW key
+    // (a producer emitting the renamed field name) — the engine's era-gated
+    // parse and the oracle's mirror must both pick the right key per row
+    val licKey = if (cfg.renameLsns.nonEmpty)
+      when(id > lit(cfg.renameLsns.min), lit("lic")).otherwise(lit("license"))
+    else lit("license")
     val extra = when(rnd(id, cfg.seed, "extra") < 0.3,
       concat(lit("{\"stars\": "), pmod(xxhash64(lit(cfg.seed), id, lit("st")), lit(10000L)).cast("string"),
-             lit(", \"license\": \"lic-"), pmod(xxhash64(lit(cfg.seed), id, lit("lic")), lit(7L)).cast("string"),
+             lit(", \""), licKey, lit("\": \"lic-"), pmod(xxhash64(lit(cfg.seed), id, lit("lic")), lit(7L)).cast("string"),
              lit("\"}")))
 
     val events = base.select(
@@ -114,6 +135,8 @@ object EventLog {
       when(op.isin("delete", "schema_change"), lit(null)).otherwise(content).as("content"),
       when(op === "schema_change",
         when(isWiden, lit("{\"widenColumn\":{\"name\":\"stars\",\"type\":\"long\"}}"))
+          .when(isDrop, lit("{\"dropColumn\":{\"name\":\"stars\"}}"))
+          .when(isRename, lit("{\"renameColumn\":{\"name\":\"license\",\"to\":\"lic\"}}"))
           // alternate added column type by position in the list; stars is int
           // so the widen lsns above have something real to widen
           .otherwise(concat(lit("{\"addColumn\":{\"name\":\""),

@@ -29,6 +29,13 @@ class CdcPropertySpec extends SparkSuite {
         // unknown column) — both orderings must replay identically to the
         // oracle under every batch split and dedup strategy
         widenLsns = Seq(rnd.nextInt(n).toLong),
+        // random drop/rename lsns: depending on where they land relative to
+        // the adds they either APPLY (metadata-only drop with re-add
+        // tombstone; era-gated value-preserving rename) or QUARANTINE
+        // (unknown column / collision) — engine and oracle must agree under
+        // every split either way
+        dropLsns = Seq(rnd.nextInt(n).toLong),
+        renameLsns = Seq(rnd.nextInt(n).toLong),
         seed = rnd.nextLong())
       val events = EventLog.generate(spark, cfg).collect().toSeq
       val want = ReplayOracle.expected(spark, events)

@@ -160,6 +160,8 @@ class MergeOnReadSpec extends SparkSuite {
         duplicateRate = rnd.nextDouble() * 0.1,
         schemaChangeLsns = Seq(rnd.nextInt(n).toLong, rnd.nextInt(n).toLong),
         widenLsns = Seq(rnd.nextInt(n).toLong),
+        dropLsns = Seq(rnd.nextInt(n).toLong),
+        renameLsns = Seq(rnd.nextInt(n).toLong),
         seed = rnd.nextLong())
       val events = EventLog.generate(spark, cfg).collect().toSeq
       val want = ReplayOracle.expected(spark, events)

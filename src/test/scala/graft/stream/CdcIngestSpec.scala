@@ -11,7 +11,12 @@ class CdcIngestSpec extends SparkSuite {
     duplicateRate = 0.05, schemaChangeLsns = Seq(2500L, 6000L),
     // mid-log widen of the int column added at lsn 2500: the STREAMING path
     // (foreachBatch merge + checkpoint resume) must replay it like the fold
-    widenLsns = Seq(5000L), seed = 11L)
+    widenLsns = Seq(5000L),
+    // drop of stars at 6800 (after its 2500 add + 5000 widen) and a rename
+    // of license (added at 6000) at 7200: the streaming path must carry the
+    // tombstone + rename lineage through checkpointed micro-batches exactly
+    // like the fold
+    dropLsns = Seq(6800L), renameLsns = Seq(7200L), seed = 11L)
 
   private lazy val oracle: DataFrame =
     ReplayOracle.expected(spark, EventLog.generate(spark, cfg).collect().toSeq)
