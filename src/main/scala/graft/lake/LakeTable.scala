@@ -245,7 +245,10 @@ final class LakeTable(spark: SparkSession, val root: String,
     val (ps, pl) =
       if (hasDeltas) (strCols.filter(keyCols.contains), Seq.empty[String])
       else (strCols, longCols)
-    val bounds = KeyPredicates.extractTyped(cond, ps, pl)
+    // extract bounds under LOGICAL names, probe file/manifest stats under
+    // PHYSICAL names (stats come from parquet footers; key columns never
+    // rename, so this is identity for the manifest key boxes)
+    val bounds = toPhysicalBounds(snap, KeyPredicates.extractTyped(cond, ps, pl))
     val candidates =
       if (headerOnly)
         log.loadManifests(
@@ -270,17 +273,27 @@ final class LakeTable(spark: SparkSession, val root: String,
     // advertised blooms from the CANDIDATES, not snap.files: only candidate
     // files get probed, and a file without the bloom fails open anyway —
     // equivalent pruning, and it keeps this callable from header-only reads
-    // (snap.files unloaded) where candidates came via manifest summaries
+    // (snap.files unloaded) where candidates came via manifest summaries.
+    // Advertised names are PHYSICAL (footers); extraction runs on LOGICAL
+    // names and the probe re-keys to physical (renamed columns keep blooms).
     val advertised = candidates.iterator.flatMap(_.bloomCols).toSet
-    val bloomStr = strCols.filter(c => advertised.contains(c) &&
+    val bloomStr = strCols.filter(c => advertised.contains(snap.physicalOf(c)) &&
       byName.get(c).contains(StringType))
-    val bloomLong = longCols.filter(c => advertised.contains(c) && (byName.get(c) match {
-      case Some(LongType) | Some(IntegerType) | Some(TimestampType) => true
-      case _ => false
-    }))
+    val bloomLong = longCols.filter(c => advertised.contains(snap.physicalOf(c)) &&
+      (byName.get(c) match {
+        case Some(LongType) | Some(IntegerType) | Some(TimestampType) => true
+        case _ => false
+      }))
     if (bloomStr.isEmpty && bloomLong.isEmpty) candidates
-    else BloomPrune.prune(spark, candidates,
-      KeyPredicates.extractEqualities(cond, bloomStr, bloomLong))
+    else {
+      val eqs = KeyPredicates.extractEqualities(cond, bloomStr, bloomLong)
+      val phys =
+        if (snap.physicalName.isEmpty) eqs
+        else KeyPredicates.Equalities(
+          eqs.strings.map { case (c, v) => snap.physicalOf(c) -> v },
+          eqs.longs.map { case (c, v) => snap.physicalOf(c) -> v })
+      BloomPrune.prune(spark, candidates, phys)
+    }
   }
 
   /** Columns with manifest-level min/max stats usable for file pruning: the
@@ -305,20 +318,29 @@ final class LakeTable(spark: SparkSession, val root: String,
   private[lake] def typedPrunable(snap: Snapshot): (Seq[String], Seq[String]) =
     typedPrunableFrom(snap.schema,
       snap.files.iterator.flatMap(_.stats.keysIterator).toSet,
-      snap.files.iterator.flatMap(_.longStats.keysIterator).toSet)
+      snap.files.iterator.flatMap(_.longStats.keysIterator).toSet,
+      snap.physicalName)
 
   /** [[typedPrunable]] core over explicit statted-column sets — the
     * header-only read path derives them from [[ManifestSummary]] unions
     * instead of loaded file entries (equal by construction: a summary's
-    * statted lists are the union over its manifest's entries).
+    * statted lists are the union over its manifest's entries). Manifest
+    * stats are keyed by PHYSICAL column names (that is what parquet footers
+    * carry, and renamed columns keep writing under their original name), so
+    * the sets are translated to logical names before the schema type
+    * cross-check — a renamed column stays first-class prunable.
     */
   private[lake] def typedPrunableFrom(
-      schema: StructType, statted: Set[String], lstatted: Set[String])
+      schema: StructType, statted: Set[String], lstatted: Set[String],
+      physical: Map[String, String] = Map.empty)
       : (Seq[String], Seq[String]) = {
+    val toLogical: String => String =
+      if (physical.isEmpty) identity
+      else { val inv = physical.map(_.swap); p => inv.getOrElse(p, p) }
     val byName = schema.fields.map(f => f.name -> f.dataType).toMap
-    val strings = (keyCols ++ (statted -- keyCols).toSeq.sorted)
+    val strings = (keyCols ++ (statted.map(toLogical) -- keyCols).toSeq.sorted)
       .filter(c => byName.get(c).contains(StringType))
-    val longs = lstatted.toSeq.sorted.filter(c => byName.get(c) match {
+    val longs = lstatted.map(toLogical).toSeq.sorted.filter(c => byName.get(c) match {
       case Some(LongType) | Some(IntegerType) | Some(TimestampType) => true
       case _ => false
     })
@@ -334,6 +356,16 @@ final class LakeTable(spark: SparkSession, val root: String,
   private[lake] def pruneFiles(
       snap: Snapshot, bounds: KeyPredicates.TypedBounds): Seq[DataFileEntry] =
     pruneEntries(snap.files, bounds)
+
+  /** Re-key extracted bounds from LOGICAL to PHYSICAL column names for stat
+    * probing (identity when nothing is renamed).
+    */
+  private def toPhysicalBounds(
+      snap: Snapshot, b: KeyPredicates.TypedBounds): KeyPredicates.TypedBounds =
+    if (snap.physicalName.isEmpty) b
+    else KeyPredicates.TypedBounds(
+      b.strings.map { case (c, v) => snap.physicalOf(c) -> v },
+      b.longs.map { case (c, v) => snap.physicalOf(c) -> v })
 
   /** [[pruneFiles]] over an explicit entry list (header-only reads pass the
     * entries of just the summary-surviving manifests).

@@ -145,6 +145,32 @@ class SchemaRenameSpec extends SparkSuite {
       Set(("a", 9L), ("b", 8L), ("c", 3L)))
   }
 
+  test("renamed column stays stat- and bloom-prunable (bounds re-keyed to physical)") {
+    val t = new LakeTable(spark, tmpDir("renprune"))
+    t.create(LakeTable.baseSchema)
+    // stars correlates with repo, so range clustering by key gives tight
+    // per-file stars bounds; stats in footers are keyed by the PHYSICAL
+    // name — after the rename a rating predicate must still prune on them
+    val rows = for (i <- 0 until 200)
+      yield ev(i + 1, "insert", f"r${i % 20}%02d", f"p$i%03d", s"c$i", "scala",
+        s"v$i", extra = s"""{"stars": ${i % 20}}""")
+    t.merge(batch(Seq(ev(0, "schema_change",
+      sc = """{"addColumn":{"name":"stars","type":"long"}}""")) ++ rows: _*), "e", 0)
+    t.merge(batch(ev(1000, "schema_change", sc = renameToRating)), "e", 1)
+    t.compact(targetRowsPerFile = 20, full = true)
+    val total = t.head().files.count(f => !f.tomb)
+    assert(total >= 8, s"expected many files, got $total")
+    val pred = col("rating") === 7L
+    val pruned = t.readWhere(pred)
+    assert(pruned.collect().toSet === t.read().filter(pred).collect().toSet)
+    pruned.collect()
+    val scanned = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.map(_.metrics("numFiles").value).sum
+    assert(scanned < total / 2,
+      s"rating bounds should prune via the physical stars stats: $scanned of $total")
+  }
+
   test("deferred-merge path renames identically") {
     val t = new LakeTable(spark, tmpDir("renmor"))
     t.create(LakeTable.baseSchema)
