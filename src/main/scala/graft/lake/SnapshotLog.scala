@@ -106,19 +106,37 @@ final case class ManifestSummary(
     hasDeltas: Boolean,
     stattedStr: Seq[String],
     stattedLong: Seq[String],
-    bloomCols: Seq[String]) {
-  /** Can any file in this manifest hold a row inside the key bounds?
-    * Only the (repo, path) box is summarized at manifest level; secondary
-    * columns fail open here and prune at file level after the parse.
+    bloomCols: Seq[String],
+    // union bounding boxes of SECONDARY statted columns (capped — see
+    // ManifestSummary.maxStatBoxCols; a column over the cap or with any
+    // unbounded file simply has no entry here and fails open to file-level
+    // pruning). On a z-ordered table these make a predicate on ANY clustered
+    // dimension prune whole manifests, not just files.
+    stats: Map[String, (Option[String], Option[String])] = Map.empty,
+    longStats: Map[String, (Option[Long], Option[Long])] = Map.empty) {
+  /** Can any file in this manifest hold a row inside the bounds? Key boxes
+    * are always present; secondary columns prune only when summarized
+    * (missing column → no constraint → fail open).
     */
   def overlapsKeys(bounds: KeyPredicates.TypedBounds): Boolean = {
     def side(c: String, mn: Option[String], mx: Option[String]): Boolean =
       bounds.strings.get(c).forall(_.overlaps(mn, mx))
-    side("repo", minRepo, maxRepo) && side("path", minPath, maxPath)
+    side("repo", minRepo, maxRepo) && side("path", minPath, maxPath) &&
+      bounds.strings.forall { case (c, b) =>
+        stats.get(c).forall { case (mn, mx) => b.overlaps(mn, mx) } } &&
+      bounds.longs.forall { case (c, b) =>
+        longStats.get(c).forall { case (mn, mx) => b.overlaps(mn, mx) } }
   }
 }
 
 object ManifestSummary {
+  /** Cap on summarized secondary-column boxes per manifest: bounds the
+    * snapshot-JSON growth to O(manifests × cap) regardless of how many
+    * columns are statted at file level (columns beyond the cap keep their
+    * FILE-level pruning; only the manifest-level shortcut is capped).
+    */
+  val maxStatBoxCols = 8
+
   def of(name: String, entries: Seq[DataFileEntry]): ManifestSummary = {
     // combine per-file bounds under the SAME unsigned-UTF-8 order the file
     // stats were written in (LakeTable.utf8Compare) — JVM string order
@@ -131,6 +149,23 @@ object ManifestSummary {
       if (entries.isEmpty || entries.exists(e => f(e).isEmpty)) None
       else Some(entries.flatMap(e => f(e))
         .reduce((a, b) => if (LakeTable.utf8Compare(a, b) >= 0) a else b))
+    val stattedStr = entries.iterator.flatMap(_.stats.keysIterator).toSeq.distinct.sorted
+    val stattedLong = entries.iterator.flatMap(_.longStats.keysIterator).toSeq.distinct.sorted
+    // union box per secondary column: include ONLY when every file stats the
+    // column with both sides bounded (a missing/unbounded file would make
+    // the box a lie — leave the column out and fail open at manifest level)
+    def strBox(c: String): Option[(Option[String], Option[String])] = {
+      val per = entries.map(_.stats.get(c))
+      if (per.exists(p => p.isEmpty || p.get._1.isEmpty || p.get._2.isEmpty)) None
+      else Some((
+        Some(per.map(_.get._1.get).reduce((a, b) => if (LakeTable.utf8Compare(a, b) <= 0) a else b)),
+        Some(per.map(_.get._2.get).reduce((a, b) => if (LakeTable.utf8Compare(a, b) >= 0) a else b))))
+    }
+    def longBox(c: String): Option[(Option[Long], Option[Long])] = {
+      val per = entries.map(_.longStats.get(c))
+      if (per.exists(p => p.isEmpty || p.get._1.isEmpty || p.get._2.isEmpty)) None
+      else Some((Some(per.map(_.get._1.get).min), Some(per.map(_.get._2.get).max)))
+    }
     ManifestSummary(
       name = name,
       fileCount = entries.size.toLong,
@@ -139,9 +174,13 @@ object ManifestSummary {
       maxVer = if (entries.isEmpty || entries.exists(_.maxVer.isEmpty)) None
                else Some(entries.flatMap(_.maxVer).max),
       hasDeltas = entries.exists(_.delta),
-      stattedStr = entries.iterator.flatMap(_.stats.keysIterator).toSeq.distinct.sorted,
-      stattedLong = entries.iterator.flatMap(_.longStats.keysIterator).toSeq.distinct.sorted,
-      bloomCols = entries.iterator.flatMap(_.bloomCols).toSeq.distinct.sorted)
+      stattedStr = stattedStr,
+      stattedLong = stattedLong,
+      bloomCols = entries.iterator.flatMap(_.bloomCols).toSeq.distinct.sorted,
+      stats = stattedStr.take(maxStatBoxCols)
+        .flatMap(c => strBox(c).map(c -> _)).toMap,
+      longStats = stattedLong.take(maxStatBoxCols)
+        .flatMap(c => longBox(c).map(c -> _)).toMap)
   }
 }
 
@@ -628,7 +667,11 @@ final class SnapshotLog(spark: SparkSession, root: String) {
         ("hasDeltas" -> m.hasDeltas) ~
         ("stattedStr" -> m.stattedStr) ~
         ("stattedLong" -> m.stattedLong) ~
-        ("bloomCols" -> m.bloomCols)
+        ("bloomCols" -> m.bloomCols) ~
+        ("stats" -> m.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          ("col" -> c) ~ ("min" -> mn) ~ ("max" -> mx) }) ~
+        ("longStats" -> m.longStats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          ("col" -> c) ~ ("min" -> mn) ~ ("max" -> mx) })
       })
     JsonMethods.compact(JsonMethods.render(json))
   }
@@ -747,7 +790,30 @@ final class SnapshotLog(spark: SparkSession, root: String) {
             },
             stattedStr = strs("stattedStr"),
             stattedLong = strs("stattedLong"),
-            bloomCols = strs("bloomCols"))
+            bloomCols = strs("bloomCols"),
+            stats = (m \ "stats") match {
+              case JArray(bs) => bs.map { b =>
+                (b \ "col").extract[String] -> ((b \ "min") match {
+                  case JString(v) => Some(v)
+                  case _ => None
+                }, (b \ "max") match {
+                  case JString(v) => Some(v)
+                  case _ => None
+                })
+              }.toMap
+              case _ => Map.empty
+            },
+            longStats = (m \ "longStats") match {
+              case JArray(bs) => bs.map { b =>
+                def l(n: String): Option[Long] = (b \ n) match {
+                  case JInt(v) => Some(v.toLong)
+                  case JLong(v) => Some(v)
+                  case _ => None
+                }
+                (b \ "col").extract[String] -> (l("min"), l("max"))
+              }.toMap
+              case _ => Map.empty
+            })
         }
         case _ => Nil // pre-summary snapshots: no manifest-level pruning
       })

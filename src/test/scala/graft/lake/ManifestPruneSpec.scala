@@ -82,6 +82,28 @@ class ManifestPruneSpec extends SparkSuite {
     assert(loads <= 2, s"one-commit window should parse O(1) manifests, parsed $loads")
   }
 
+  test("secondary-column summary boxes prune whole manifests (lang point read)") {
+    val root = tmpDir("mprune-lang")
+    val t = new LakeTable(spark, root)
+    t.create(LakeTable.baseSchema)
+    val langs = Seq("de", "en", "fr", "go", "hs", "ja", "kt", "ml", "pl", "rb", "rs", "ts")
+    // one commit per language: each manifest's lang box is a single value
+    for ((lg, c) <- langs.zipWithIndex) {
+      val rows = for (i <- 0 until 10)
+        yield Row(c * 10L + i + 1, 0L,
+          new java.sql.Timestamp(1700000000000L + i), "insert",
+          f"q$c%02d", f"p$i%02d", s"c$c-$i", lg, s"v$c-$i", null, null)
+      t.merge(batch(rows), "e", c)
+    }
+    val fresh = new LakeTable(spark, root)
+    val got = fresh.readWhere(col("lang") === "fr")
+      .select("content").as[String].collect().toSet
+    assert(got === (0 until 10).map(i => s"v2-$i").toSet)
+    val loads = fresh.log.manifestLoads.get()
+    assert(loads <= 2,
+      s"lang box should prune manifests before parsing: parsed $loads of ${langs.size}")
+  }
+
   test("pre-summary snapshots fall back to the full parse with identical rows") {
     val (t, root) = multiManifestTable()
     val pred = col("repo") >= "r05" && col("repo") <= "r06"
