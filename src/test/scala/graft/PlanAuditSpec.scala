@@ -67,6 +67,35 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.contains("EqualTo(repo,r1)"), plan)
   }
 
+  test("a renamed-column read stays a vectorized scan + codegen'd project (no shuffle)") {
+    import spark.implicits._
+    val t = new graft.lake.LakeTable(spark, tmpDir("planrename"))
+    t.create(graft.lake.LakeTable.baseSchema)
+    val rows = Seq(
+      (0L, 0L, new java.sql.Timestamp(0L), "schema_change", null: String,
+        null: String, null: String, null: String, null: String,
+        """{"addColumn":{"name":"stars","type":"long"}}""", null: String),
+      (1L, 1L, new java.sql.Timestamp(0L), "insert", "r1", "a", "c1",
+        "scala", "v1", null: String, """{"stars": 5}"""),
+      (2L, 2L, new java.sql.Timestamp(0L), "schema_change", null: String,
+        null: String, null: String, null: String, null: String,
+        """{"renameColumn":{"name":"stars","to":"rating"}}""", null: String))
+      .toDF("lsn", "event_id", "ts", "op", "repo", "path", "commit", "lang",
+        "content", "schema_change", "extra")
+    t.merge(rows, "e", 0)
+    val df = t.read().select("repo", "rating")
+    assert(df.as[(String, Long)].collect().toSeq === Seq(("r1", 5L)))
+    val plan = formatted(df)
+    // the physical→logical alias must stay a Project INSIDE whole-stage
+    // codegen over the columnar parquet scan — no exchange, no row boundary
+    assert(plan.contains("Scan parquet"), plan)
+    assert(plan.contains("[codegen id :"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    // column pruning survives the alias: only the consumed physical columns
+    // are read (repo + the original stars), content never leaves the footer
+    assert(plan.contains("ReadSchema: struct<repo:string,stars:bigint>"), plan)
+  }
+
   test("fused MERGE plan has exactly one exchange for dedup+merge+clustering") {
     // reproduce the merge's core plan shape on a standalone union
     import spark.implicits._
