@@ -159,7 +159,10 @@ final class ChangeFeedSource(
     val toV = versionOf(end)
     val net = table.changesBetween(fromV, toV)
     // align to the stream's fixed schema: columns added by schema evolution
-    // after stream start are dropped; (never-expected) missing ones null-fill
+    // after stream start are dropped, and columns RENAMED or DROPPED
+    // mid-stream null-fill under their pinned old name (the stream keeps
+    // running; a restart picks up the evolved schema — same restart contract
+    // as column adds)
     val have = net.columns.toSet
     val aligned = net.select(fixedSchema.fields.toSeq.map { f =>
       if (have.contains(f.name)) col(f.name)

@@ -209,6 +209,47 @@ class ChangeFeedSourceSpec extends SparkSuite {
     assert(v4.forall(r => r.getLong(r.fieldIndex("stars")) == 9L))
   }
 
+  test("RENAME mid-stream: pinned old name null-fills, stream survives, restart sees the new name") {
+    val t = freshTable()
+    t.merge(batch(
+      ev(1, "schema_change", sc = """{"addColumn":{"name":"stars","type":"long"}}"""),
+      ev(2, "insert", "r1", "a", "c2", "scala", "v2", extra = """{"stars": 5}""")), "e", 0)
+    val ck = tmpDir("ck-midrename")
+    val feed = readFeed(t.root, Map("startingVersion" -> "earliest"))
+    assert(feed.columns.contains("stars"))
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    val q = feed.writeStream
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .option("checkpointLocation", ck)
+      .foreachBatch((b: DataFrame, _: Long) => b.collect().foreach(buf.add))
+      .start()
+    try {
+      q.processAllAvailable()
+      // rename WHILE the stream runs, then commit a post-rename row
+      t.merge(batch(
+        ev(3, "schema_change", sc = """{"renameColumn":{"name":"stars","to":"rating"}}"""),
+        ev(4, "update", "r1", "a", "c4", "scala", "v4",
+          extra = """{"rating": 8}""")), "e", 1)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"running stream failed on a mid-stream rename: ${q.exception}")
+      val delivered = scala.jdk.CollectionConverters.CollectionHasAsScala(buf).asScala.toSeq
+      val v4 = delivered.filter(r => r.getString(r.fieldIndex("content")) == "v4")
+      // delivered under the PINNED schema: old name present but null-filled
+      // (the value lives under the new name, visible after restart)
+      assert(v4.nonEmpty, "post-rename change not delivered to the running stream")
+      assert(v4.forall(r => r.isNullAt(r.fieldIndex("stars"))))
+    } finally q.stop()
+
+    t.merge(batch(ev(5, "update", "r1", "a", "c5", "scala", "v5",
+      extra = """{"rating": 9}""")), "e", 2)
+    val feed2 = readFeed(t.root, Map("startingVersion" -> "earliest"))
+    assert(feed2.columns.contains("rating") && !feed2.columns.contains("stars"))
+    val (rows2, _) = drain(feed2, ck)
+    val v5 = rows2.filter(r => r.getString(r.fieldIndex("content")) == "v5")
+    assert(v5.nonEmpty, "restarted stream missed the post-restart commit")
+    assert(v5.forall(r => r.getLong(r.fieldIndex("rating")) == 9L))
+  }
+
   test("schema evolution: stream carries columns added before stream start") {
     val t = freshTable()
     t.merge(batch(ev(1, "insert", "r1", "a", "c1", "scala", "v1")), "e", 0)
