@@ -1084,15 +1084,33 @@ object Queries {
       concat(lit("r"), (col("user_id") % 25).cast("string")).as("repo"),
       concat(lit("p"), col("user_id").cast("string")).as("path"))
     graft.events.EventLog.writeOrdered(s, mapped, s"$work/wal", numFiles = 12)
+    // 4 segments per trigger (3 micro-batches over the 12-segment WAL): still
+    // a real cross-batch stateful stream, at half the per-batch fixed cost
+    // (state-store commit + checkpoint fsync per batch — guide §1.2/§2;
+    // round-5 verdict item #1: the 6-batch shape paid 6 × stores fsync
+    // rounds and blew up 5.8× on a disk-contended driver window).
     val stream = s.readStream.schema(mapped.schema)
-      .option("maxFilesPerTrigger", 2).parquet(s"$work/wal")
+      .option("maxFilesPerTrigger", 4).parquet(s"$work/wal")
     val deduped = graft.stream.StreamDedup.firstSeen(stream, "content_sha", "lsn")
     val sink = s"graft_stream_dedup_sink_${java.lang.Integer.toHexString(work.hashCode)}"
-    val q = deduped.writeStream.format("memory").queryName(sink)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", s"$work/cp")
-      .start()
-    q.awaitTermination()
+    // State-store instance count = spark.sql.shuffle.partitions AT QUERY
+    // START, and each instance pays a per-batch commit (delta file + fsync)
+    // regardless of how little state it holds. The session default
+    // (2 × cores) sizes SHUFFLES, not state stores: this stream keeps one
+    // boolean per key, so 64 instances × N batches is pure commit overhead.
+    // Scale-adaptive: bounded per-stream parallelism via env (a real
+    // deployment sizes it to key-arrival throughput), default 8.
+    val confKey = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(confKey)
+    s.conf.set(confKey,
+      sys.env.getOrElse("GRAFT_STREAM_STATE_PARTITIONS", "8"))
+    try {
+      val q = deduped.writeStream.format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/cp")
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(confKey, prev) // the stream clones the conf on start
     val out = s.table(sink).localCheckpoint() // detach from the view
     s.catalog.dropTempView(sink)
     out.withColumnRenamed("lsn", "first_lsn")
@@ -1396,8 +1414,12 @@ object Queries {
       array_distinct(graft.ops.TextOps.wordTokens(col("text"))).as("ws"))
     val a = t.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("ws").as("wa"))
     val b = t.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("ws").as("wb"))
-    val jac = size(array_intersect(col("wa"), col("wb"))).cast("double") /
-      size(array_union(col("wa"), col("wb")))
+    // |A∪B| = |A| + |B| − |A∩B| on the already-distinct token sets: one
+    // hash-set pass per pair instead of two (array_union built and hashed a
+    // whole union array per candidate just to take its size) — exact set
+    // identity, same value the oracle's list_distinct(list_concat) computes
+    val inter = size(array_intersect(col("wa"), col("wb")))
+    val jac = inter.cast("double") / (size(col("wa")) + size(col("wb")) - inter)
     // NOTE: the filter must use the RAW value (the oracle thresholds before
     // rounding); codegen subexpression elimination shares the set-op subtree
     // between the fused Filter and Project, so this is one evaluation per pair
@@ -1680,11 +1702,27 @@ object Queries {
   // File-based assets, publish/export, bounded-concurrency fetch
   // ------------------------------------------------------------------
 
+  /** Scratch base for staged inputs, lake tables and stream checkpoints.
+    * RAM-backed when available (guide §6 / §5: the sandbox's single virtio
+    * disk serializes the many small fsync-heavy writes these queries make —
+    * snapshot commits, state-store deltas, checkpoint metadata — while a
+    * real cluster gives every executor local SSDs; `/dev/shm` is the same
+    * stand-in the CDC bench already uses for `spark.local.dir` and its own
+    * work dir). Parameterize via GRAFT_SCRATCH_DIR for hosts where tmpfs is
+    * unavailable or too small; falls back to java.io.tmpdir.
+    */
+  private lazy val scratchBase: String =
+    sys.env.get("GRAFT_SCRATCH_DIR").getOrElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    }
+
   /** Deterministic per-input scratch dir, wiped at run start (results must
     * stay readable after return; never accumulates beyond one copy).
     */
   private def scratchDir(kind: String, d: String): String = {
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+    val dir = new java.io.File(scratchBase,
       s"graft_q_${kind}_${java.lang.Integer.toHexString(d.hashCode)}")
     def rmrf(p: java.io.File): Unit = {
       if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))

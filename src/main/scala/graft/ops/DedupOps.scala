@@ -256,9 +256,14 @@ object DedupOps {
       shingleK: Int = 3, threshold: Double = 0.5,
       bottomK: Int = 8, maxBucket: Int = 1000,
       lineage: Option[graft.stream.Lineage] = None): DataFrame = {
+    // array_distinct on the SORTED hash array (stays sorted; shingles are
+    // already distinct, so this only collapses 64-bit hash collisions —
+    // ≈ n²/2^65 per doc) makes __hs a true set: the verify step can then use
+    // |A∪B| = |A| + |B| − |A∩B| below, one hash-set pass per candidate pair
+    // instead of materializing a union array per pair just to size it.
     val hs = df.select(col(idCol).as("__id"),
-      array_sort(transform(TextOps.shingles(col(textCol), shingleK),
-        s => substring(sha2(s, 256), 1, 16))).as("__hs"))
+      array_distinct(array_sort(transform(TextOps.shingles(col(textCol), shingleK),
+        s => substring(sha2(s, 256), 1, 16)))).as("__hs"))
       .persist()
     try {
     val banded = hs.select(col("__id"),
@@ -271,12 +276,12 @@ object DedupOps {
     val b = capped.select(col("__bucket"), col("__id").as("id_b"))
     val cand = a.join(b, Seq("__bucket")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val inter = size(array_intersect(col("__hs_a"), col("__hs_b")))
     cand
       .join(hs.select(col("__id").as("id_a"), col("__hs").as("__hs_a")), "id_a")
       .join(hs.select(col("__id").as("id_b"), col("__hs").as("__hs_b")), "id_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("__hs_a"), col("__hs_b"))).cast("double") /
-        size(array_union(col("__hs_a"), col("__hs_b"))), 4))
+      .withColumn("jaccard", round(inter.cast("double") /
+        (size(col("__hs_a")) + size(col("__hs_b")) - inter), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .localCheckpoint()
@@ -305,6 +310,63 @@ object DedupOps {
     // reference `pairs`, and an expensive upstream (e.g. a blocked similarity
     // self-join) would otherwise execute twice when exchange reuse misses
     val p = pairs.select(col(idA).as("src"), col(idB).as("dst")).localCheckpoint()
+    // DRIVER FAST PATH: the edge set is the DUPLICATE-PAIR graph — small
+    // relative to the corpus by construction (near-dup pairs only, already
+    // capped upstream). Under a bounded edge budget, run exact union-find on
+    // the driver (min-id representative = the same fixpoint as min-label
+    // propagation; string ids compare in UTF-8 byte order exactly like
+    // Spark's `min`) instead of paying (2 joins + shortcut join +
+    // localCheckpoint + convergence count) Spark jobs PER DOUBLING ROUND
+    // (guide §1.2 / §5: O(edges) driver state with a hard cap). Larger edge
+    // sets keep the distributed pointer-doubling loop below.
+    val ccCap = sys.env.getOrElse("GRAFT_CC_DRIVER_CAP", "2000000").toInt
+    val probe = p.limit(ccCap + 1).collect()
+    if (probe.length <= ccCap) {
+      val spark = pairs.sparkSession
+      val idType = p.schema.head.dataType
+      val cmp: (Any, Any) => Int = idType match {
+        case org.apache.spark.sql.types.StringType =>
+          // unsigned UTF-8 byte order — exactly Spark's string min/least
+          (a, b) => {
+            val x = a.asInstanceOf[String].getBytes("UTF-8")
+            val y = b.asInstanceOf[String].getBytes("UTF-8")
+            val n = math.min(x.length, y.length)
+            var i = 0
+            var r = 0
+            while (i < n && r == 0) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+            if (r != 0) r else x.length - y.length
+          }
+        case _ =>
+          (a, b) => java.lang.Long.compare(
+            a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
+      }
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      probe.foreach { r =>
+        val (a, b) = (r.get(0), r.get(1))
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          // min-id representative keeps the exact min-label fixpoint
+          if (cmp(ra, rb) <= 0) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        parent.keySet().asScala.toSeq
+          .map(id => org.apache.spark.sql.Row(id, find(id))).asJava
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", idType, nullable = false),
+        org.apache.spark.sql.types.StructField("canonical_id", idType, nullable = false)))
+      return spark.createDataFrame(rows, schema)
+    }
     val edges = p
       .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

@@ -66,20 +66,74 @@ object Ivf {
   private def trainProjected(pv: DataFrame, nlist: Int,
                              iters: Int, portable: Boolean): Array[Array[Double]] = {
     val h = if (portable) sha2(col("__id").cast("string"), 256) else xxhash64(col("__id"))
-    var cents: Array[Array[Double]] = pv
+    // ONE ordered top-k job serves seeding AND (when the corpus fits the
+    // driver cap) the whole training set: the previous shape re-ran
+    // (broadcast join + min_by shuffle + posexplode shuffle + collect) per
+    // Lloyd iteration to produce nlist × dim doubles (guide §1.2: the
+    // distributed algorithm first — an iteration whose working state is
+    // kilobytes belongs on the driver). Same seeding order, same
+    // assignment semantics (squared-L2, tie → smaller cell), same
+    // empty-cell rule; only float summation order differs (hash order vs
+    // partition order) — the same last-ulp tolerance the DuckDB oracle
+    // twin already carries. Corpora past the cap keep the distributed
+    // loop UNSAMPLED (the portable oracle replays full-corpus training,
+    // and honest k-means wants the full data when it cannot fit a sample).
+    val cap = math.max(nlist, Pq.trainCap)
+    val ordered = pv
       .select(col("__v"), h.as("__h"), col("__id").as("__i"))
-      .orderBy(col("__h"), col("__i")).limit(nlist)
+      .orderBy(col("__h"), col("__i")).limit(cap + 1)
       .collect().map(_.getSeq[Double](0).toArray)
-    require(cents.nonEmpty, "empty corpus")
+    require(ordered.nonEmpty, "empty corpus")
+    if (ordered.length <= cap) driverLloyd(ordered, nlist, iters)
+    else {
+      var cents = ordered.take(nlist)
+      for (_ <- 0 until iters) {
+        val means = assignProjected(pv, cents)
+          .select(col("__cell"), posexplode(col("__v")))
+          .groupBy(col("__cell"), col("pos"))
+          .agg(avg(col("col")).as("m"))
+          .collect()
+        val next = cents.map(_.clone())
+        for (r <- means) next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        cents = next
+      }
+      cents
+    }
+  }
+
+  /** Lloyd iterations on the driver over an in-memory corpus: argmin cell by
+    * squared L2 (left-to-right sum, tie → smaller cell — exactly
+    * [[assignProjected]]'s min_by ordering), per-cell per-position means,
+    * empty cells keep their previous centroid.
+    */
+  private def driverLloyd(sample: Array[Array[Double]], nlist: Int,
+                          iters: Int): Array[Array[Double]] = {
+    var cents = sample.take(nlist).map(_.clone())
+    val dim = cents(0).length
+    val rows = sample.filter(_.length == dim)
     for (_ <- 0 until iters) {
-      val means = assignProjected(pv, cents)
-        .select(col("__cell"), posexplode(col("__v")))
-        .groupBy(col("__cell"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .collect()
-      val next = cents.map(_.clone())
-      for (r <- means) next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
-      cents = next
+      val k = cents.length
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Long](k)
+      for (v <- rows) {
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          val cw = cents(c)
+          var d = 0.0
+          var j = 0
+          while (j < dim) { val x = v(j) - cw(j); d += x * x; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val acc = sums(best)
+        var j = 0
+        while (j < dim) { acc(j) += v(j); j += 1 }
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
     }
     cents
   }
@@ -94,11 +148,8 @@ object Ivf {
     */
   def trainCentroids(
       df: DataFrame, vecCol: String, idCol: String,
-      nlist: Int, iters: Int = 3, portable: Boolean = false): Array[Array[Double]] = {
-    val pv = projected(df, vecCol, idCol).persist()
-    try trainProjected(pv, nlist, iters, portable)
-    finally pv.unpersist()
-  }
+      nlist: Int, iters: Int = 3, portable: Boolean = false): Array[Array[Double]] =
+    trainProjected(projected(df, vecCol, idCol), nlist, iters, portable)
 
   /** A trained, persisted IVF index: `table` holds the assigned corpus as a
     * BUCKETED parquet table keyed by `__cell` (so probes bucket-prune), and
@@ -119,19 +170,23 @@ object Ivf {
       portable: Boolean = false): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val pv = projected(corpus, vecCol, idCol).persist()
-    try {
-      val cents = trainProjected(pv, nlist, iters, portable)
-      val assigned = assignProjected(pv, cents)
-        .select(col("__cell"), col("__id").as("nbr_id"), col("__v").as("__cv"))
-      val nBuckets = if (buckets > 0) buckets else math.max(1, math.min(nlist, 1024))
-      graft.kernel.Bucketing.writeBucketed(assigned, table, nBuckets, Seq("__cell"))
-      graft.kernel.Bucketing.dropManaged(spark, s"${table}_centroids")
+    val pv = projected(corpus, vecCol, idCol)
+    val cents = trainProjected(pv, nlist, iters, portable)
+    // assignment is a codegen'd per-row argmin (AnnKernels.nearestCell) —
+    // no broadcast join, no min_by shuffle; the only exchange left is the
+    // bucketed write's own clustering (which the index layout needs anyway)
+    val assigned = pv.select(
+        graft.functions.AnnKernels.nearestCellCol(col("__v"), cents).as("__cell"),
+        col("__id").as("nbr_id"), col("__v").as("__cv"))
+      .filter(col("__cell").isNotNull)
+    val nBuckets = if (buckets > 0) buckets else math.max(1, math.min(nlist, 1024))
+    graft.kernel.Bucketing.writeBucketed(assigned, table, nBuckets, Seq("__cell"))
+    graft.kernel.Bucketing.dropManaged(spark, s"${table}_centroids")
+    graft.kernel.Bucketing.withLocation(
       cents.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }.toDF("__cell", "__cv")
-        .coalesce(1).write.mode("overwrite").format("parquet")
-        .saveAsTable(s"${table}_centroids")
-      IvfIndex(table, cents)
-    } finally pv.unpersist()
+        .coalesce(1).write.mode("overwrite").format("parquet"), s"${table}_centroids")
+      .saveAsTable(s"${table}_centroids")
+    IvfIndex(table, cents)
   }
 
   /** Reload a persisted index (no retraining, no corpus scan). */
@@ -205,15 +260,15 @@ object Ivf {
       corpus: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
       k: Int = 5, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
       portable: Boolean = false): DataFrame = {
-    // ONE persisted corpus projection feeds the whole call: every Lloyd
-    // iteration plus the final index assignment (the unpersisted shape
-    // re-read and re-cast the corpus iters+1 times); the small top-k result
-    // is materialized before the cache is released.
-    val pv = projected(corpus, vecCol, idCol).persist()
-    try {
+    // training is now ONE bounded collect (driver Lloyd) and assignment ONE
+    // codegen'd map — the corpus is scanned exactly twice with no shuffle on
+    // either pass, so the persist that amortized the old iters+1 re-reads
+    // would only cost a materialization here.
+    val pv = projected(corpus, vecCol, idCol)
     val cents = trainProjected(pv, nlist, iters, portable)
-    val c = assignProjected(pv, cents)
-      .select(col("__id").as("nbr_id"), col("__v").as("__cv"), col("__cell"))
+    val c = pv.select(col("__id").as("nbr_id"), col("__v").as("__cv"),
+      graft.functions.AnnKernels.nearestCellCol(col("__v"), cents).as("__cell"))
+      .filter(col("__cell").isNotNull)
     // query side: nprobe nearest cells via a window over the (tiny) broadcast
     // join — queries are small by contract, the window is per-query-local
     val v = Similarity.asDoubleVec(col(vecCol))
@@ -238,6 +293,5 @@ object Ivf {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("nbr_id"), col("cosine"))
       .localCheckpoint()
-    } finally pv.unpersist()
   }
 }

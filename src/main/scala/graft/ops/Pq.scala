@@ -57,16 +57,6 @@ object Pq {
     df.select(col(idCol).as("__id"),
       unit(Similarity.asDoubleVec(col(vecCol))).as("__v"))
 
-  /** 1-based sub-vector slice for subspace `s`. */
-  private def sub(v: Column, s: Int, subDim: Int): Column =
-    slice(v, s * subDim + 1, subDim)
-
-  /** One row per (vector, subspace): (__id, __s, __sv). */
-  private def subVectors(pv: DataFrame, m: Int, subDim: Int): DataFrame =
-    pv.select(col("__id"), explode(array((0 until m).map(s =>
-        struct(lit(s).as("__s"), sub(col("__v"), s, subDim).as("__sv"))): _*)).as("e"))
-      .select(col("__id"), col("e.__s").as("__s"), col("e.__sv").as("__sv"))
-
   /** Codebooks as a broadcastable (subspace, code, centroid) frame. */
   private def booksDf(spark: org.apache.spark.sql.SparkSession,
                       books: Array[Array[Array[Double]]]): DataFrame = {
@@ -77,24 +67,27 @@ object Pq {
     } yield (s, c, cv.toSeq)).toSeq.toDF("__s", "__code", "__bv")
   }
 
-  /** Nearest-codeword id per (vector, subspace): broadcast join against ALL
-    * subspaces' codebooks at once, min_by with the (distance, code)
-    * tiebreak — one partial-aggregated shuffle on (__id, __s) covers every
-    * subspace in a single job.
+  /** Bounded training-sample size (rows collected to the driver for Lloyd).
+    * PQ codebooks are trained on a bounded sample at every scale — the
+    * standard practice for quantizer training (a few 10^4..10^5 vectors
+    * saturate m × ksub × subDim means; training on 10^9 rows buys nothing) —
+    * so the cap is the 100 TB design, not a shortcut. Env-tunable.
     */
-  private def assignCodes(subs: DataFrame,
-                          books: Array[Array[Array[Double]]]): DataFrame =
-    subs.join(broadcast(booksDf(subs.sparkSession, books)), Seq("__s"))
-      .withColumn("__d", graft.functions.VecOps.vecSqDist(col("__sv"), col("__bv")))
-      .groupBy(col("__id"), col("__s"))
-      .agg(min_by(struct(col("__code"), col("__sv")), struct(col("__d"), col("__code"))).as("__m"))
-      .select(col("__id"), col("__s"),
-        col("__m.__code").as("__code"), col("__m.__sv").as("__sv"))
+  private[ops] def trainCap: Int =
+    sys.env.getOrElse("GRAFT_ANN_TRAIN_CAP", "65536").toInt
 
-  /** Train all m sub-codebooks jointly: seeds are the `ksub` rows with the
-    * smallest sha256(id) (one collect), each Lloyd iteration is ONE job —
-    * assign every (vector, subspace) pair, then average per
-    * (subspace, code, position); empty codes keep their previous codeword.
+  /** Train all m sub-codebooks jointly on a bounded DETERMINISTIC sample
+    * (the `trainCap` rows with the smallest (sha256(id), id) — the previous
+    * seeding order, extended from ksub seeds to the whole sample; one
+    * top-k job, one collect). Lloyd then runs ON THE DRIVER: the state is
+    * m × ksub × subDim means (kilobytes) and the flop count is
+    * sample × m × ksub × subDim per iteration — the distributed loop paid
+    * (broadcast join + min_by shuffle + posexplode shuffle + collect) Spark
+    * jobs PER ITERATION to compute the same kilobyte-sized result (guide
+    * §1.2: fix the algorithm before the per-task work; §5: the driver may
+    * hold bounded state). Assignment semantics are identical (squared-L2,
+    * tie → smaller code); only float summation order differs (sample order
+    * vs partition order), which the exact rerank makes unobservable.
     */
   def train(corpus: DataFrame, vecCol: String, idCol: String, dim: Int,
             m: Int = 16, ksub: Int = 64, iters: Int = 4): PqModel = {
@@ -102,42 +95,68 @@ object Pq {
     require(ksub >= 2, "ksub must be at least 2")
     val subDim = dim / m
     val pv = projected(corpus, vecCol, idCol)
-    val seeds = pv
+    val sample = pv
       .select(col("__v"), sha2(col("__id").cast("string"), 256).as("__h"),
         col("__id").as("__i"))
-      .orderBy(col("__h"), col("__i")).limit(ksub)
+      .orderBy(col("__h"), col("__i")).limit(trainCap)
       .collect().map(_.getSeq[Double](0).toArray)
-    require(seeds.nonEmpty, "empty corpus")
+      .filter(v => v.length >= dim && !v.exists(_.isNaN))
+    require(sample.nonEmpty, "empty corpus")
+    val seeds = sample.take(ksub)
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m, seeds.length)((s, c) => seeds(c).slice(s * subDim, (s + 1) * subDim))
-    val subs = subVectors(pv, m, subDim).persist()
-    try {
-      subs.count() // materialize once; every iteration reads the cache
-      for (_ <- 0 until iters) {
-        val means = assignCodes(subs, books)
-          .select(col("__s"), col("__code"), posexplode(col("__sv")))
-          .groupBy(col("__s"), col("__code"), col("pos"))
-          .agg(avg(col("col")).as("m"))
-          .collect()
-        val next = books.map(_.map(_.clone()))
-        for (r <- means) next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
-        books = next
+    val ks = seeds.length
+    for (_ <- 0 until iters) {
+      val sums = Array.ofDim[Double](m, ks, subDim)
+      val counts = Array.ofDim[Long](m, ks)
+      for (v <- sample) {
+        var s = 0
+        while (s < m) {
+          val off = s * subDim
+          val book = books(s)
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < ks) {
+            val cw = book(c)
+            var d = 0.0
+            var j = 0
+            while (j < subDim) { val x = v(off + j) - cw(j); d += x * x; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(s)(best) += 1
+          val acc = sums(s)(best)
+          var j = 0
+          while (j < subDim) { acc(j) += v(off + j); j += 1 }
+          s += 1
+        }
       }
-      PqModel(dim, m, books)
-    } finally subs.unpersist()
+      books = Array.tabulate(m, ks)((s, c) =>
+        if (counts(s)(c) == 0) books(s)(c) // empty code keeps its codeword
+        else {
+          val n = counts(s)(c).toDouble
+          sums(s)(c).map(_ / n)
+        })
+    }
+    PqModel(dim, m, books)
   }
 
   /** Encode the corpus: one row per vector, `codes` = the m nearest-codeword
     * ids in subspace order — the compressed representation the ADC scan
-    * reads (persist it to search many times without re-encoding).
+    * reads (persist it to search many times without re-encoding). ONE
+    * codegen'd map over the corpus ([[graft.functions.AnnKernels.pqEncode]],
+    * codebooks as a plan reference object): the previous explode → broadcast
+    * join → two-shuffle groupBy shape moved m rows per vector through two
+    * exchanges to compute a per-row argmin (guide §2.4 — a map-side
+    * computable value needs no shuffle at all).
     */
   def encode(corpus: DataFrame, vecCol: String, idCol: String,
              model: PqModel): DataFrame = {
     val pv = projected(corpus, vecCol, idCol)
-    assignCodes(subVectors(pv, model.m, model.subDim), model.books)
-      .groupBy(col("__id"))
-      .agg(transform(sort_array(collect_list(struct(col("__s"), col("__code")))),
-        e => e.getField("__code")).as("codes"))
+    pv.select(col("__id"),
+        graft.functions.AnnKernels.pqEncodeCol(col("__v"), model.books).as("codes"))
+      .filter(col("codes").isNotNull)
   }
 
   /** ADC search + exact rerank over [[encode]]'s output. Per query the
@@ -175,12 +194,13 @@ object Pq {
       (qid, t)
     }
     val lutDf = luts.toDF("query_id", "__lut")
+    // ADC as the native codegen'd kernel (AnnKernels.adc — same left-to-right
+    // fold; the HOF zip_with/aggregate form paid interpreted lambdas plus an
+    // intermediate array per (row, query) pair)
     val adc = codes.crossJoin(broadcast(lutDf))
       .filter(col("query_id") =!= col("__id"))
-      .withColumn("__adc", aggregate(
-        zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
-          (c, s) => element_at(element_at(col("__lut"), s + 1), c + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("__adc",
+        graft.functions.AnnKernels.adcCol(col("codes"), col("__lut")))
     val wShort = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").asc, col("__id").asc)
     val short = adc.withColumn("__r", row_number().over(wShort))
@@ -192,7 +212,11 @@ object Pq {
       Similarity.asDoubleVec(col(vecCol)).as("__qv"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
-    short.join(c, Seq("nbr_id")).join(broadcast(q), Seq("query_id"))
+    // the shortlist (≤ shortlist × queries id pairs) BROADCASTS into the
+    // corpus-vector scan — the join must never shuffle the corpus vectors by
+    // nbr_id (guide §3.1/§2.3: broadcast the provably tiny side; the rerank
+    // reads exactly shortlist × queries vectors either way)
+    c.join(broadcast(short), Seq("nbr_id")).join(broadcast(q), Seq("query_id"))
       .withColumn("cosine", round(Similarity.cosine(col("__qv"), col("__cv")), 6))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
@@ -206,10 +230,11 @@ object Pq {
              idCol: String, dim: Int, k: Int = 5, m: Int = 16, ksub: Int = 64,
              iters: Int = 4, shortlist: Int = 128): DataFrame = {
     val model = train(corpus, vecCol, idCol, dim, m, ksub, iters)
-    val codes = encode(corpus, vecCol, idCol, model).persist()
-    try adcTopK(codes, corpus, queries, vecCol, idCol, model, k, shortlist)
+    // encode is now a shuffle-free codegen map consumed exactly once by the
+    // ADC pass — caching it bought nothing and cost a materialization
+    val codes = encode(corpus, vecCol, idCol, model)
+    adcTopK(codes, corpus, queries, vecCol, idCol, model, k, shortlist)
       .localCheckpoint()
-    finally codes.unpersist()
   }
 
   /** A trained, persisted PQ index: `table` holds the encoded corpus (one
@@ -232,11 +257,14 @@ object Pq {
     val spark = corpus.sparkSession
     val model = train(corpus, vecCol, idCol, dim, m, ksub, iters)
     graft.kernel.Bucketing.dropManaged(spark, table)
-    encode(corpus, vecCol, idCol, model)
-      .write.mode("overwrite").format("parquet").saveAsTable(table)
+    graft.kernel.Bucketing.withLocation(
+      encode(corpus, vecCol, idCol, model)
+        .write.mode("overwrite").format("parquet"), table)
+      .saveAsTable(table)
     graft.kernel.Bucketing.dropManaged(spark, s"${table}_books")
-    booksDf(spark, model.books)
-      .coalesce(1).write.mode("overwrite").format("parquet")
+    graft.kernel.Bucketing.withLocation(
+      booksDf(spark, model.books)
+        .coalesce(1).write.mode("overwrite").format("parquet"), s"${table}_books")
       .saveAsTable(s"${table}_books")
     PqIndex(table, model)
   }

@@ -140,13 +140,25 @@ object Similarity {
     // the probe is a full narrow aggregate scan, not something to pay twice —
     // callers that know the declared dim pass it and pay nothing
     val dim = Some(knownDim.getOrElse(embeddingDim(corpus, vecCol)))
+    // candidate generation on BARE IDS: the (query, nbr) dedup is an
+    // aggregate shuffle, and shipping both vectors through it multiplied its
+    // bytes by ~2 × dim × 8 per candidate (guide §2.3 — decide with keys,
+    // attach payloads after). Vectors re-join only for the deduped candidate
+    // set: the tiny pair set broadcasts into the corpus-vector scan, and the
+    // query vectors broadcast as before — no shuffle ever carries a vector.
     val c = signBucketsMulti(corpus, vecCol, idCol, planes, tables, seed, dim)
-      .select(col("__bucket"), col("__id").as("nbr_id"), col("__v").as("__cv"))
+      .select(col("__bucket"), col("__id").as("nbr_id"))
     val q = signBucketsMulti(queries, vecCol, idCol, planes, tables, seed, dim)
-      .select(col("__bucket"), col("__id").as("query_id"), col("__v").as("__qv"))
-    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .select(col("__bucket"), col("__id").as("query_id"))
+    val cand = c.join(broadcast(q), Seq("__bucket"))
       .filter(col("query_id") =!= col("nbr_id"))
       .dropDuplicates("query_id", "nbr_id")
+    val cvecs = filterDim(corpus, vecCol, dim.get)
+      .select(col(idCol).as("nbr_id"), asDouble(col(vecCol)).as("__cv"))
+    val qvecs = filterDim(queries, vecCol, dim.get)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+    val scored = cvecs.join(broadcast(cand), Seq("nbr_id"))
+      .join(broadcast(qvecs), Seq("query_id"))
       .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
