@@ -1420,12 +1420,15 @@ object Queries {
     // identity, same value the oracle's list_distinct(list_concat) computes
     val inter = size(array_intersect(col("wa"), col("wb")))
     val jac = inter.cast("double") / (size(col("wa")) + size(col("wb")) - inter)
-    // NOTE: the filter must use the RAW value (the oracle thresholds before
-    // rounding); codegen subexpression elimination shares the set-op subtree
-    // between the fused Filter and Project, so this is one evaluation per pair
+    // the RAW value is staged as a real column and the filter references the
+    // ATTRIBUTE: one guaranteed evaluation per pair (the previous shape
+    // filtered on the raw expression and rounded a second copy in the
+    // project, leaning on codegen subexpression elimination to dedupe), and
+    // the oracle's threshold-before-rounding semantics are preserved
     a.join(b, Seq("lang", "source")).filter(col("id_a") < col("id_b"))
-      .filter(jac >= 0.4)
-      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
+      .withColumn("__jac", jac)
+      .filter(col("__jac") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("__jac"), 4).as("jaccard"))
   }
 
   /** Cluster canonicalization over the (deterministic, oracle-green)

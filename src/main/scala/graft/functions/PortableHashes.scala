@@ -205,6 +205,136 @@ case class SimhashBitsPortable(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Portable ngram-Jaccard sketch over a shingle array, one hashing pass:
+  * per shingle the first 16 hex chars of sha256(shingle); `bottom` = the
+  * `bottomK` lexicographically smallest DISTINCT hex values (the bottom-k
+  * sketch bucket keys — identical to slicing the sorted distinct hex array),
+  * `hl` = ALL distinct hash values as SIGNED longs (the 64-bit hex parsed
+  * two's-complement), sorted ascending — the verify-set representation.
+  * The hex → long map is a bijection of the 64-bit space, so set sizes,
+  * intersections and unions are exactly those of the hex-string sets the
+  * DuckDB oracle computes; only the element representation (and therefore
+  * the per-element comparison cost) changes.
+  */
+case class NgramSketch(child: Expression, bottomK: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    StructField("bottom", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("hl", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "ngram_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramSketch.compute(input.asInstanceOf[ArrayData], bottomK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("sketch")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $tmp =
+         |  graft.functions.NgramSketch.compute($c, $bottomK);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NgramSketch =
+    copy(child = newChild)
+}
+
+object NgramSketch {
+  def compute(shingles: ArrayData, bottomK: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = shingles.numElements()
+    val hex = new java.util.TreeSet[String]() // sorted + distinct in one pass
+    var i = 0
+    while (i < n) {
+      if (shingles.isNullAt(i)) return null // defensive parity: sha2(null) poisons
+      hex.add(Sha256.hex(shingles.getUTF8String(i)).substring(0, 16))
+      i += 1
+    }
+    val sorted = hex.toArray(new Array[String](hex.size))
+    val nb = math.min(bottomK, sorted.length)
+    val bottom = new Array[Any](nb)
+    var b = 0
+    while (b < nb) { bottom(b) = UTF8String.fromString(sorted(b)); b += 1 }
+    val longs = new Array[Long](sorted.length)
+    var j = 0
+    while (j < sorted.length) {
+      longs(j) = java.lang.Long.parseUnsignedLong(sorted(j), 16)
+      j += 1
+    }
+    java.util.Arrays.sort(longs) // signed order for the merge-walk intersect
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    row.update(0, new GenericArrayData(bottom))
+    row.update(1, new GenericArrayData(longs))
+    row
+  }
+
+  def column(shingles: Column, bottomK: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(NgramSketch(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(shingles), bottomK))
+}
+
+/** |A ∩ B| of two SORTED long arrays by merge walk — no per-row hash sets,
+  * no intermediate arrays; exact set-intersection size (inputs are distinct
+  * by construction in [[NgramSketch]]).
+  */
+case class SortedLongIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_long_intersect_size"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<bigint>, array<bigint>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedLongIntersectSize.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedLongIntersectSize.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedLongIntersectSize =
+    copy(left = l, right = r)
+}
+
+object SortedLongIntersectSize {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  def column(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(SortedLongIntersectSize(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+}
+
 object SimhashBitsPortable {
   def compute(tokens: ArrayData): ArrayData = {
     val votes = new Array[Int](64)

@@ -256,18 +256,24 @@ object DedupOps {
       shingleK: Int = 3, threshold: Double = 0.5,
       bottomK: Int = 8, maxBucket: Int = 1000,
       lineage: Option[graft.stream.Lineage] = None): DataFrame = {
-    // array_distinct on the SORTED hash array (stays sorted; shingles are
-    // already distinct, so this only collapses 64-bit hash collisions —
-    // ≈ n²/2^65 per doc) makes __hs a true set: the verify step can then use
-    // |A∪B| = |A| + |B| − |A∩B| below, one hash-set pass per candidate pair
-    // instead of materializing a union array per pair just to size it.
+    // ONE codegen'd hashing pass per doc (graft.functions.NgramSketch): the
+    // bottom-k DISTINCT hex16 bucket keys plus the full distinct hash set as
+    // SORTED SIGNED LONGS (bijective reparse of the same 64-bit values, so
+    // set sizes — and therefore Jaccard — are exactly the oracle's hex-set
+    // numbers). Replaces the interpreted transform(sha2) → array_sort →
+    // array_distinct chain (guide §4: no interpreted HOFs on the hot path);
+    // the distinct only collapses 64-bit collisions (≈ n²/2^65 per doc).
+    // Verify then runs |A∩B| as a merge walk over the sorted long arrays and
+    // |A∪B| = |A| + |B| − |A∩B| — no per-pair hash sets or union arrays.
     val hs = df.select(col(idCol).as("__id"),
-      array_distinct(array_sort(transform(TextOps.shingles(col(textCol), shingleK),
-        s => substring(sha2(s, 256), 1, 16)))).as("__hs"))
+      graft.functions.NgramSketch.column(
+        TextOps.shingles(col(textCol), shingleK), bottomK).as("__sk"))
+      .select(col("__id"),
+        col("__sk").getField("bottom").as("__hb"),
+        col("__sk").getField("hl").as("__hl"))
       .persist()
     try {
-    val banded = hs.select(col("__id"),
-      explode(slice(col("__hs"), 1, bottomK)).as("__bucket"))
+    val banded = hs.select(col("__id"), explode(col("__hb")).as("__bucket"))
     val wB = Window.partitionBy(col("__bucket")).orderBy(col("__id"))
     val numbered = banded.withColumn("__bn", row_number().over(wB))
     val capped = numbered.filter(col("__bn") <= maxBucket)
@@ -276,12 +282,21 @@ object DedupOps {
     val b = capped.select(col("__bucket"), col("__id").as("id_b"))
     val cand = a.join(b, Seq("__bucket")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-    val inter = size(array_intersect(col("__hs_a"), col("__hs_b")))
+    val inter = graft.functions.SortedLongIntersectSize.column(
+      col("__hl_a"), col("__hl_b"))
+    // size prefilter (classic set-similarity length filter): jac ≥ t implies
+    // min(|A|,|B|) ≥ t·max(|A|,|B|) (intersect ≤ min, union ≥ max), so a
+    // size-skewed pair can be dropped before any per-element work — sound,
+    // output-identical
+    val sizeOk =
+      size(col("__hl_a")).cast("double") >= lit(threshold) * size(col("__hl_b")) &&
+      size(col("__hl_b")).cast("double") >= lit(threshold) * size(col("__hl_a"))
     cand
-      .join(hs.select(col("__id").as("id_a"), col("__hs").as("__hs_a")), "id_a")
-      .join(hs.select(col("__id").as("id_b"), col("__hs").as("__hs_b")), "id_b")
+      .join(hs.select(col("__id").as("id_a"), col("__hl").as("__hl_a")), "id_a")
+      .join(hs.select(col("__id").as("id_b"), col("__hl").as("__hl_b")), "id_b")
+      .filter(sizeOk)
       .withColumn("jaccard", round(inter.cast("double") /
-        (size(col("__hs_a")) + size(col("__hs_b")) - inter), 4))
+        (size(col("__hl_a")) + size(col("__hl_b")) - inter), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .localCheckpoint()

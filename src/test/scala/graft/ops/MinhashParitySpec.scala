@@ -108,6 +108,38 @@ class MinhashParitySpec extends SparkSuite {
     }
   }
 
+  test("NgramSketch + SortedLongIntersectSize == the HOF hex-set formulation, exactly") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and runs far away home",
+      "the quick brown fox jumps over the lazy dog and walks far away home",
+      "der hund und die katze ist nicht da heute morgen wieder einmal",
+      "x", "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val bottomK = 3
+    // the pre-kernel HOF formulation, verbatim (sorted distinct hex16)
+    val hofHex = array_distinct(array_sort(transform(
+      TextOps.shingles(col("text"), 3), s => substring(sha2(s, 256), 1, 16))))
+    val sk = graft.functions.NgramSketch.column(TextOps.shingles(col("text"), 3), bottomK)
+    val rows = df.select(col("doc_id"),
+        sk.getField("bottom"), sk.getField("hl"), hofHex)
+      .as[(Long, Seq[String], Seq[Long], Seq[String])].collect()
+    rows.foreach { case (i, bottom, hl, hex) =>
+      assert(bottom === hex.take(bottomK), s"doc $i bottom-k diverged")
+      val wantLongs = hex.map(java.lang.Long.parseUnsignedLong(_, 16)).sorted
+      assert(hl === wantLongs, s"doc $i long set diverged")
+    }
+    // merge-walk intersect size == hex-set intersect size, on every pair
+    val byId = rows.map(r => r._1 -> r).toMap
+    for (a <- rows; b <- rows) {
+      val inter = spark.range(1).select(
+        graft.functions.SortedLongIntersectSize.column(
+          typedlit(a._3), typedlit(b._3))).as[Int].head()
+      assert(inter === a._4.toSet.intersect(b._4.toSet).size,
+        s"intersect(${a._1}, ${b._1}) diverged")
+    }
+    assert(byId.size == rows.length)
+  }
+
   test("portable minhash signature matches a plain-Scala oracle") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog and runs far away home",
