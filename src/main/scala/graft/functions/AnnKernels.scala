@@ -108,12 +108,56 @@ object AnnKernels {
     Integer.valueOf(best)
   }
 
+  /** All tables' sign-LSH bucket ids for one vector in one pass: for table
+    * `t`, bit `p` = (v · planes(t)(p) >= 0), namespaced by `t << tableShift`.
+    * Replaces a tables × planes tree of [[DotProduct]]/when/bitwiseOR
+    * expressions (48+ kernel calls and a janino-heavy generated class) with
+    * one call per row. EXACT parity with that tree: each dot sums
+    * left-to-right in [[VecOps.dot]] order, `>= 0` decides the bit, and a
+    * ragged row or null element — where every `vecDot` is NULL and
+    * `when(null >= 0, bit)` falls through to 0 — yields the bare table
+    * namespace for every table.
+    */
+  def signBuckets(planes: Array[Array[Array[Double]]], tableShift: Int)(
+      v: ArrayData): ArrayData = {
+    val tables = planes.length
+    val dim = planes(0)(0).length
+    var degenerate = v.numElements() != dim
+    if (!degenerate) {
+      var i = 0
+      while (i < dim && !degenerate) { if (v.isNullAt(i)) degenerate = true; i += 1 }
+    }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = t.toLong << tableShift
+      if (!degenerate) {
+        val hp = planes(t)
+        var p = 0
+        while (p < hp.length) {
+          val cw = hp(p)
+          var s = 0.0d
+          var j = 0
+          while (j < dim) { s += v.getDouble(j) * cw(j); j += 1 }
+          if (s >= 0) bucket |= (1L << p)
+          p += 1
+        }
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def pqEncodeCol(v: Column, books: Array[Array[Array[Double]]]): Column =
     column(PqEncodeExpr(expression(v), books))
   def adcCol(codes: Column, lut: Column): Column =
     column(PqAdcExpr(expression(codes), expression(lut)))
   def nearestCellCol(v: Column, cents: Array[Array[Double]]): Column =
     column(NearestCellExpr(expression(v), cents))
+  def signBucketsCol(v: Column, planes: Array[Array[Array[Double]]],
+                     tableShift: Int): Column =
+    column(SignBucketsExpr(expression(v), planes, tableShift))
 }
 
 case class PqEncodeExpr(child: Expression, books: Array[Array[Array[Double]]])
@@ -177,6 +221,36 @@ case class PqAdcExpr(left: Expression, right: Expression) extends BinaryExpressi
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcExpr =
     copy(left = l, right = r)
+}
+
+case class SignBucketsExpr(child: Expression, planes: Array[Array[Array[Double]]],
+                           tableShift: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+  override def prettyName: String = "sign_buckets"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<double>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    AnnKernels.signBuckets(planes, tableShift)(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = graft.functions.AnnKernels.signBuckets($planesRef, $tableShift, $v);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): SignBucketsExpr =
+    copy(child = c)
 }
 
 case class NearestCellExpr(child: Expression, cents: Array[Array[Double]])

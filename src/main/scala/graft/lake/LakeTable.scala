@@ -867,14 +867,15 @@ final class LakeTable(spark: SparkSession, val root: String,
                            batchId: Long, saltBuckets: Int,
                            recordInLedger: Boolean,
                            operation: String): Option[MergeStats] = {
-    val scRows = timed("schema-scan")(batch
+    // concurrent with the pre-agg below — same §2.6 overlap as mergeOnce
+    val scFut = scala.concurrent.Future(timed("schema-scan")(batch
       .filter(col("op") === "schema_change")
       .select(col("lsn"), col("schema_change"))
-      .collect().toSeq.sortBy(_.getLong(0)))
+      .collect().toSeq.sortBy(_.getLong(0))))(LakeTable.auxJobEc)
 
     // one narrow pre-aggregation feeds the lineage counters (no file pruning
     // here — no target files are read, which is the whole point)
-    val (distinctKeys, eventsSeen, deleteWinners, batchMaxLsn) = timed("pre-agg") {
+    val (distinctKeys, eventsSeen, deleteWinners, dataMaxLsn) = timed("pre-agg") {
       val r = batch
         .filter(col("op") =!= "schema_change")
         .select(col("repo"), col("path"), col("lsn"), col("event_id"), col("op"))
@@ -888,9 +889,12 @@ final class LakeTable(spark: SparkSession, val root: String,
           coalesce(sum(col("__n")), lit(0L)),
           coalesce(sum(when(col("__winOp") === "delete", 1L).otherwise(0L)), lit(0L)),
           coalesce(max(col("__maxLsn")), lit(-1L))).collect()(0)
-      (r.getLong(0), r.getLong(1), r.getLong(2),
-        math.max(r.getLong(3), scRows.lastOption.map(_.getLong(0)).getOrElse(-1L)))
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
+    val scRows = scala.concurrent.Await.result(
+      scFut, scala.concurrent.duration.Duration.Inf)
+    val batchMaxLsn = math.max(dataMaxLsn,
+      scRows.lastOption.map(_.getLong(0)).getOrElse(-1L))
 
     val evo = evolveSchema(snap, scRows)
 
@@ -1175,19 +1179,31 @@ final class LakeTable(spark: SparkSession, val root: String,
                         recordInLedger: Boolean,
                         operation: String): Option[MergeStats] = {
 
-    // ---- schema-change events: a separate TINY pass. `op = 'schema_change'`
-    // pushes down to the parquet scan, so this touches almost nothing; doing
-    // it inside the big per-key agg (collect_list of structs) used to
-    // allocate a list buffer for every one of millions of keys to carry a
-    // handful of DDL rows.
-    val scRows = timed("schema-scan")(batch
+    // ---- schema-change events: a separate TINY pass (`op = 'schema_change'`
+    // pushes down to the scan, so it touches almost nothing; folding it into
+    // the per-key agg as a collect_list used to allocate a buffer per key and
+    // forced the agg off the codegen hash path). Submitted CONCURRENTLY with
+    // the pre-agg job below (guide §2.6 — actions are only sequential because
+    // the driver calls them sequentially): the scheduler back-fills, so this
+    // job's fixed cost leaves the critical path.
+    val scFut = scala.concurrent.Future(timed("schema-scan")(batch
       .filter(col("op") === "schema_change")
       .select(col("lsn"), col("schema_change"))
-      .collect().toSeq.sortBy(_.getLong(0)))
+      .collect().toSeq.sortBy(_.getLong(0))))(LakeTable.auxJobEc)
 
     // ---- ONE narrow pre-aggregation over data events (key/lsn/op columns
-    // only — a few % of batch bytes) feeds lineage counters AND file-pruning
-    // keys; cached so the two driver actions share the shuffle.
+    // only — a few % of batch bytes) feeds lineage counters AND file pruning
+    // in a SINGLE job: the per-key hash aggregate folds per partition into
+    // (counter totals + touched-file hits against the broadcast interval
+    // index) and only those partials return to the driver — no cache
+    // round-trip, no second scalar-agg job, no distinct shuffle of file
+    // paths (guide §1.2 fewer passes; §2.4 remove shuffles outright).
+    // File pruning: touch only files whose (repo, path) bounding box meets a
+    // batch key — the broadcast PruneIndex probe is O(log files + hits) per
+    // distinct key, not a join.
+    val pruneIx =
+      if (snap.files.isEmpty) None
+      else Some(spark.sparkContext.broadcast(PruneIndex(snap.files)))
     val keyAgg = batch
       .filter(col("op") =!= "schema_change")
       .select(col("repo"), col("path"), col("lsn"), col("event_id"), col("op"))
@@ -1196,17 +1212,29 @@ final class LakeTable(spark: SparkSession, val root: String,
         max_by(col("op"), struct(col("lsn"), col("event_id"))).as("__winOp"),
         count(lit(1)).as("__n"),
         max(col("lsn")).as("__maxLsn"))
-      .persist()
-
-    val (distinctKeys, eventsSeen, deleteWinners, batchMaxLsn) = timed("pre-agg") {
-      val r = keyAgg.agg(
-        count(lit(1)),
-        coalesce(sum(col("__n")), lit(0L)),
-        coalesce(sum(when(col("__winOp") === "delete", 1L).otherwise(0L)), lit(0L)),
-        coalesce(max(col("__maxLsn")), lit(-1L))).collect()(0)
-      (r.getLong(0), r.getLong(1), r.getLong(2),
-        math.max(r.getLong(3), scRows.lastOption.map(_.getLong(0)).getOrElse(-1L)))
-    }
+    val (distinctKeys, eventsSeen, deleteWinners, dataMaxLsn, touched) =
+      timed("pre-agg+prune") {
+        val partials = keyAgg.rdd.mapPartitions { it =>
+          var keys = 0L; var n = 0L; var del = 0L; var mx = -1L
+          val hits = scala.collection.mutable.HashSet.empty[String]
+          it.foreach { r =>
+            keys += 1
+            n += r.getLong(3)
+            if (!r.isNullAt(2) && r.getString(2) == "delete") del += 1
+            val m = r.getLong(4); if (m > mx) mx = m
+            if (!r.isNullAt(0) && !r.isNullAt(1))
+              pruneIx.foreach(ix => hits ++= ix.value.lookup(r.getString(0), r.getString(1)))
+          }
+          Iterator.single((keys, n, del, mx, hits.toSeq))
+        }.collect()
+        (partials.map(_._1).sum, partials.map(_._2).sum, partials.map(_._3).sum,
+          partials.foldLeft(-1L)((a, p) => math.max(a, p._4)),
+          partials.iterator.flatMap(_._5).toSet)
+      }
+    val scRows = scala.concurrent.Await.result(
+      scFut, scala.concurrent.duration.Duration.Inf)
+    val batchMaxLsn = math.max(dataMaxLsn,
+      scRows.lastOption.map(_.getLong(0)).getOrElse(-1L))
 
     val evo = evolveSchema(snap, scRows)
     val schema = evo.schema
@@ -1254,25 +1282,6 @@ final class LakeTable(spark: SparkSession, val root: String,
       lit(false).as("__isTarget")): _*)
     val (src, constraintQuarantined) =
       enforceConstraints(snap, evolved.schema, src0, batchId)
-
-    // ---- file pruning: touch only files whose (repo, path) bounding box
-    // meets a batch key. A broadcast interval index probed map-side per
-    // distinct key (O(log files + hits) each) — not a join at all, so no
-    // BroadcastNestedLoopJoin and no O(keys × files) predicate sweep.
-    // Reuses the cached narrow key agg — no extra input scan. ----
-    val touched: Set[String] = timed("prune")(
-      if (snap.files.isEmpty) Set.empty
-      else {
-        val index = spark.sparkContext.broadcast(PruneIndex(snap.files))
-        import spark.implicits._
-        // schema_change events carry null keys — nothing to prune against
-        keyAgg.select(col("repo"), col("path"))
-          .filter(col("repo").isNotNull && col("path").isNotNull)
-          .as[(String, String)]
-          .mapPartitions(it => it.flatMap { case (r, p) => index.value.lookup(r, p) })
-          .distinct().collect().toSet
-      })
-    keyAgg.unpersist()
 
     // readStoredTagged: when touched files include deferred-merge deltas, the
     // per-row `__pref` (base −1, delta _ver) breaks LSN ties among TARGET
@@ -1651,6 +1660,17 @@ final class LakeTable(spark: SparkSession, val root: String,
 }
 
 object LakeTable {
+
+  /** Driver-side pool for overlapping small independent Spark actions with a
+    * bigger one in the same merge (guide §2.6): daemon threads so an idle
+    * pool never blocks JVM exit. Bounded by use — a merge submits one
+    * auxiliary action at a time.
+    */
+  private[lake] lazy val auxJobEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "lake-aux-job"); t.setDaemon(true); t
+      }))
 
   /** Outcome of applying a batch's schema-change events to a snapshot's
     * schema (shared by the copy-on-write and deferred merge paths).

@@ -108,24 +108,22 @@ object Similarity {
   def signBucketsMulti(df: DataFrame, vecCol: String, idCol: String,
                        planes: Int, tables: Int, seed: Long,
                        knownDim: Option[Int] = None): DataFrame = {
-    import graft.functions.VecOps.vecDot
     val dim = knownDim.getOrElse(embeddingDim(df, vecCol))
     // staged cast vector (see signBuckets): the inline form re-evaluated the
     // array<float>→array<double> transform once per plane per table (48× at
     // the default 6×8 geometry) through interpreted-HOF re-inlining
     val staged = filterDim(df, vecCol, dim)
       .select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
-    val bucketCols = (0 until tables).map { t =>
-      val hp = hyperplanes(planes, dim, seed + 1000L * t)
-      val bits = (0 until planes).map { p =>
-        when(vecDot(col("__v"), typedlit(hp(p).toSeq)) >= 0, lit(1L << p)).otherwise(lit(0L))
-      }
-      bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-        .bitwiseOR(lit(t.toLong << 32)).as(s"__b$t")
-    }
-    staged
-      .select(col("__id"), col("__v"), array(bucketCols: _*).as("__buckets"))
-      .select(col("__id"), col("__v"), explode(col("__buckets")).as("__bucket"))
+    // ALL tables' buckets from one codegen kernel call per row
+    // ([[graft.functions.AnnKernels.signBuckets]]): the previous
+    // tables × planes tree of vecDot/when/bitwiseOR expressions compiled to
+    // a janino-heavy generated class and paid 48+ kernel calls per row —
+    // bit-identical fold order, so buckets are unchanged (guide §1.2
+    // per-task work; the parity spec pins kernel == expression-tree).
+    val planesAll = Array.tabulate(tables)(t => hyperplanes(planes, dim, seed + 1000L * t))
+    staged.select(col("__id"), col("__v"),
+      explode(graft.functions.AnnKernels.signBucketsCol(
+        col("__v"), planesAll, 32)).as("__bucket"))
   }
 
   /** LSH-bucketed ANN top-k: score only within the query's bucket. Returns
