@@ -479,21 +479,31 @@ final class LakeTable(spark: SparkSession, val root: String,
     * `constraintQuarantined` records what enforcement then removed.
     */
   private def enforceConstraints(snap: Snapshot, evolvedSchema: StructType,
-                                 src: DataFrame, batchId: Long): (DataFrame, Long) = {
-    if (snap.constraints.isEmpty) return (src, 0L)
+                                 src: DataFrame, batchId: Long)
+      : (DataFrame, scala.concurrent.Future[Long]) = {
+    if (snap.constraints.isEmpty)
+      return (src, scala.concurrent.Future.successful(0L))
     val violates = snap.constraints.values.toSeq
       .map(s => expr(s) <=> lit(false)).reduce(_ || _) && !col("_deleted")
     val bad = src.filter(violates)
-    val n = bad.count()
-    if (n > 0) {
-      val dir = s"$root/quarantine/constraints-v${snap.version + 1}-b$batchId-" +
-        java.util.UUID.randomUUID().toString.take(8)
-      bad.select((evolvedSchema.fieldNames.toSeq :+ "_lsn").map(col): _*)
-        .write.mode("overwrite").parquet(dir)
-      System.err.println(s"[lake] QUARANTINED $n rows violating CHECK " +
-        s"(${snap.constraints.keys.mkString(", ")}) -> $dir")
-    }
-    (src.filter(!violates), n)
+    // count + quarantine-write run CONCURRENTLY with the main merge jobs
+    // (guide §2.6): the merge only needs the FILTERED frame — which is lazy —
+    // not the violator count, so the extra per-batch job leaves the critical
+    // path; the caller awaits before committing (a failed quarantine write
+    // must still fail the batch, not land a commit that lost rows silently).
+    val quarantined = scala.concurrent.Future {
+      val n = bad.count()
+      if (n > 0) {
+        val dir = s"$root/quarantine/constraints-v${snap.version + 1}-b$batchId-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        bad.select((evolvedSchema.fieldNames.toSeq :+ "_lsn").map(col): _*)
+          .write.mode("overwrite").parquet(dir)
+        System.err.println(s"[lake] QUARANTINED $n rows violating CHECK " +
+          s"(${snap.constraints.keys.mkString(", ")}) -> $dir")
+      }
+      n
+    }(LakeTable.auxJobEc)
+    (src.filter(!violates), quarantined)
   }
 
   /** Roll the table back to `version` (the Delta `RESTORE` analog): a
@@ -910,7 +920,7 @@ final class LakeTable(spark: SparkSession, val root: String,
         (col("op") === "delete").as("_deleted"),
         lit(snap.version + 1).as("_ver"),
         col("event_id").as("__tie")): _*)
-    val (src, constraintQuarantined) =
+    val (src, constraintQuarantinedF) =
       enforceConstraints(snap, evo.schema, src0, batchId)
 
     // batch-local dedup in ONE range shuffle; the delta files come out
@@ -946,6 +956,10 @@ final class LakeTable(spark: SparkSession, val root: String,
       droppedAtLsn = evo.dropped,
       physicalName = evo.physical,
       renamedAt = evo.renames)
+    // the concurrent quarantine job must have LANDED before the commit does
+    // (a failed quarantine write fails the batch, never a silent row loss)
+    val constraintQuarantined = scala.concurrent.Await.result(
+      constraintQuarantinedF, scala.concurrent.duration.Duration.Inf)
     if (!log.tryCommit(next)) return None
 
     Some(MergeStats(epoch, batchId, next.version,
@@ -1201,19 +1215,40 @@ final class LakeTable(spark: SparkSession, val root: String,
     // File pruning: touch only files whose (repo, path) bounding box meets a
     // batch key — the broadcast PruneIndex probe is O(log files + hits) per
     // distinct key, not a join.
+    // ---- EMPTY-TARGET fast path (the initial load / first batch / the
+    // bench's one-shot drain): with no target files there is nothing to
+    // prune, and the merge's own dedup window writes EXACTLY one row per
+    // distinct batch key (tombstones included, in their own file group) — so
+    // `distinctKeys` = written rows and `deleteWinners` = written tombstone
+    // rows, both free from the footer stats the commit collects anyway. The
+    // remaining counters (eventsSeen, max lsn) need only a SHUFFLE-FREE
+    // map-side scalar agg, submitted concurrently with the merge write
+    // (§2.6). Net: the per-key hash-agg SHUFFLE of the whole batch
+    // disappears from the initial load (guide §2.4 — remove shuffles
+    // outright). Constraints disable the path: quarantined rows never reach
+    // the written output, which would break the rows==keys identity.
+    val emptyFastPath = snap.files.isEmpty && snap.constraints.isEmpty
+    val scalarFut =
+      if (!emptyFastPath) None
+      else Some(scala.concurrent.Future(timed("scalar-agg") {
+        val r = batch.filter(col("op") =!= "schema_change")
+          .agg(count(lit(1)), coalesce(max(col("lsn")), lit(-1L))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      })(LakeTable.auxJobEc))
     val pruneIx =
       if (snap.files.isEmpty) None
       else Some(spark.sparkContext.broadcast(PruneIndex(snap.files)))
-    val keyAgg = batch
-      .filter(col("op") =!= "schema_change")
-      .select(col("repo"), col("path"), col("lsn"), col("event_id"), col("op"))
-      .groupBy(col("repo"), col("path"))
-      .agg(
-        max_by(col("op"), struct(col("lsn"), col("event_id"))).as("__winOp"),
-        count(lit(1)).as("__n"),
-        max(col("lsn")).as("__maxLsn"))
-    val (distinctKeys, eventsSeen, deleteWinners, dataMaxLsn, touched) =
-      timed("pre-agg+prune") {
+    val (distinctKeys0, eventsSeen0, deleteWinners0, dataMaxLsn0, touched) =
+      if (emptyFastPath) (-1L, -1L, -1L, -1L, Set.empty[String])
+      else timed("pre-agg+prune") {
+        val keyAgg = batch
+          .filter(col("op") =!= "schema_change")
+          .select(col("repo"), col("path"), col("lsn"), col("event_id"), col("op"))
+          .groupBy(col("repo"), col("path"))
+          .agg(
+            max_by(col("op"), struct(col("lsn"), col("event_id"))).as("__winOp"),
+            count(lit(1)).as("__n"),
+            max(col("lsn")).as("__maxLsn"))
         val partials = keyAgg.rdd.mapPartitions { it =>
           var keys = 0L; var n = 0L; var del = 0L; var mx = -1L
           val hits = scala.collection.mutable.HashSet.empty[String]
@@ -1233,8 +1268,6 @@ final class LakeTable(spark: SparkSession, val root: String,
       }
     val scRows = scala.concurrent.Await.result(
       scFut, scala.concurrent.duration.Duration.Inf)
-    val batchMaxLsn = math.max(dataMaxLsn,
-      scRows.lastOption.map(_.getLong(0)).getOrElse(-1L))
 
     val evo = evolveSchema(snap, scRows)
     val schema = evo.schema
@@ -1280,7 +1313,7 @@ final class LakeTable(spark: SparkSession, val root: String,
       col("event_id").as("__tie"),
       lit(-1L).as("__pref"),
       lit(false).as("__isTarget")): _*)
-    val (src, constraintQuarantined) =
+    val (src, constraintQuarantinedF) =
       enforceConstraints(snap, evolved.schema, src0, batchId)
 
     // readStoredTagged: when touched files include deferred-merge deltas, the
@@ -1318,6 +1351,19 @@ final class LakeTable(spark: SparkSession, val root: String,
 
     val newFiles = timed("footer-stats")(LakeTable.footerStats(spark, newDir, statColumns = statColumns))
 
+    // fast-path counters resolve HERE: one written row per distinct key
+    // (tombstones in their own file group), scalar agg awaited after the
+    // write it overlapped with
+    val (distinctKeys, eventsSeen, deleteWinners, dataMaxLsn) = scalarFut match {
+      case None => (distinctKeys0, eventsSeen0, deleteWinners0, dataMaxLsn0)
+      case Some(f) =>
+        val (n, mx) = scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf)
+        (newFiles.map(_.rows).sum, n, newFiles.filter(_.tomb).map(_.rows).sum, mx)
+    }
+    val batchMaxLsn = math.max(dataMaxLsn,
+      scRows.lastOption.map(_.getLong(0)).getOrElse(-1L))
+
     val next = Snapshot(
       version = snap.version + 1,
       schema = schema,
@@ -1332,6 +1378,9 @@ final class LakeTable(spark: SparkSession, val root: String,
       droppedAtLsn = evo.dropped,
       physicalName = evo.physical,
       renamedAt = evo.renames)
+    // concurrent quarantine job must land before the commit (see mergeOnce)
+    val constraintQuarantined = scala.concurrent.Await.result(
+      constraintQuarantinedF, scala.concurrent.duration.Duration.Inf)
     if (!log.tryCommit(next)) return None // lost the race: caller recomputes
 
     Some(MergeStats(epoch, batchId, next.version,
