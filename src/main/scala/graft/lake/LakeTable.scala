@@ -883,28 +883,45 @@ final class LakeTable(spark: SparkSession, val root: String,
       .select(col("lsn"), col("schema_change"))
       .collect().toSeq.sortBy(_.getLong(0))))(LakeTable.auxJobEc)
 
-    // one narrow pre-aggregation feeds the lineage counters (no file pruning
-    // here — no target files are read, which is the whole point)
-    val (distinctKeys, eventsSeen, deleteWinners, dataMaxLsn) = timed("pre-agg") {
-      val r = batch
-        .filter(col("op") =!= "schema_change")
-        .select(col("repo"), col("path"), col("lsn"), col("event_id"), col("op"))
-        .groupBy(col("repo"), col("path"))
-        .agg(
-          max_by(col("op"), struct(col("lsn"), col("event_id"))).as("__winOp"),
-          count(lit(1)).as("__n"),
-          max(col("lsn")).as("__maxLsn"))
-        .agg(
-          count(lit(1)),
-          coalesce(sum(col("__n")), lit(0L)),
-          coalesce(sum(when(col("__winOp") === "delete", 1L).otherwise(0L)), lit(0L)),
-          coalesce(max(col("__maxLsn")), lit(-1L))).collect()(0)
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    }
+    // Lineage counters (no file pruning here — no target files are read,
+    // which is the whole point). A deferred merge writes EXACTLY one delta
+    // row per distinct batch key on EVERY batch (the dedup window below,
+    // independent of target state — nothing is read to merge against), so
+    // `distinctKeys` = written delta rows and `deleteWinners` = written
+    // tombstone delta rows, both free from the commit's footer stats; the
+    // remaining scalars need only a SHUFFLE-FREE map-side agg, submitted
+    // concurrently with the delta write (guide §2.4/§2.6 — the per-key
+    // hash shuffle leaves the deferred ingest entirely). Constraints
+    // disable the identity (quarantined rows never reach the delta);
+    // the grouped pre-agg remains for that case.
+    val fastCounters = snap.constraints.isEmpty
+    val scalarFut =
+      if (!fastCounters) None
+      else Some(scala.concurrent.Future(timed("scalar-agg") {
+        val r = batch.filter(col("op") =!= "schema_change")
+          .agg(count(lit(1)), coalesce(max(col("lsn")), lit(-1L))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      })(LakeTable.auxJobEc))
+    val (distinctKeys0, eventsSeen0, deleteWinners0, dataMaxLsn0) =
+      if (fastCounters) (-1L, -1L, -1L, -1L)
+      else timed("pre-agg") {
+        val r = batch
+          .filter(col("op") =!= "schema_change")
+          .select(col("repo"), col("path"), col("lsn"), col("event_id"), col("op"))
+          .groupBy(col("repo"), col("path"))
+          .agg(
+            max_by(col("op"), struct(col("lsn"), col("event_id"))).as("__winOp"),
+            count(lit(1)).as("__n"),
+            max(col("lsn")).as("__maxLsn"))
+          .agg(
+            count(lit(1)),
+            coalesce(sum(col("__n")), lit(0L)),
+            coalesce(sum(when(col("__winOp") === "delete", 1L).otherwise(0L)), lit(0L)),
+            coalesce(max(col("__maxLsn")), lit(-1L))).collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
     val scRows = scala.concurrent.Await.result(
       scFut, scala.concurrent.duration.Duration.Inf)
-    val batchMaxLsn = math.max(dataMaxLsn,
-      scRows.lastOption.map(_.getLong(0)).getOrElse(-1L))
 
     val evo = evolveSchema(snap, scRows)
 
@@ -941,6 +958,18 @@ final class LakeTable(spark: SparkSession, val root: String,
     val newFiles = timed("footer-stats")(
       LakeTable.footerStats(spark, newDir, statColumns = statColumns)
         .map(_.copy(delta = true)))
+
+    // fast-path counters resolve here (one delta row per distinct key;
+    // scalar agg awaited after the write it overlapped with)
+    val (distinctKeys, eventsSeen, deleteWinners, dataMaxLsn) = scalarFut match {
+      case None => (distinctKeys0, eventsSeen0, deleteWinners0, dataMaxLsn0)
+      case Some(f) =>
+        val (n, mx) = scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf)
+        (newFiles.map(_.rows).sum, n, newFiles.filter(_.tomb).map(_.rows).sum, mx)
+    }
+    val batchMaxLsn = math.max(dataMaxLsn,
+      scRows.lastOption.map(_.getLong(0)).getOrElse(-1L))
 
     val next = Snapshot(
       version = snap.version + 1,
