@@ -1285,7 +1285,10 @@ final class LakeTable(spark: SparkSession, val root: String,
             keys += 1
             n += r.getLong(3)
             if (!r.isNullAt(2) && r.getString(2) == "delete") del += 1
-            val m = r.getLong(4); if (m > mx) mx = m
+            // null-safe like the old coalesce(max(__maxLsn), -1): an
+            // all-null-lsn group contributes nothing to the max
+            val m = if (r.isNullAt(4)) -1L else r.getLong(4)
+            if (m > mx) mx = m
             if (!r.isNullAt(0) && !r.isNullAt(1))
               pruneIx.foreach(ix => hits ++= ix.value.lookup(r.getString(0), r.getString(1)))
           }

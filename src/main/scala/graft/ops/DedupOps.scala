@@ -334,9 +334,15 @@ object DedupOps {
     // localCheckpoint + convergence count) Spark jobs PER DOUBLING ROUND
     // (guide §1.2 / §5: O(edges) driver state with a hard cap). Larger edge
     // sets keep the distributed pointer-doubling loop below.
-    val ccCap = sys.env.getOrElse("GRAFT_CC_DRIVER_CAP", "2000000").toInt
+    // default sized so the collected boxed rows + the 2×-entry parent map
+    // stay well inside a modest driver heap (~tens of MB, not the ~GB a 2M
+    // default risked); env-tunable for drivers with more headroom. Null ids
+    // (never produced by the upstream pair generators, but possible for
+    // library callers) fall through to the distributed loop, which carries
+    // them like any other value instead of NPE-ing in the comparator.
+    val ccCap = sys.env.getOrElse("GRAFT_CC_DRIVER_CAP", "500000").toInt
     val probe = p.limit(ccCap + 1).collect()
-    if (probe.length <= ccCap) {
+    if (probe.length <= ccCap && !probe.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
       val spark = pairs.sparkSession
       val idType = p.schema.head.dataType
       val cmp: (Any, Any) => Int = idType match {

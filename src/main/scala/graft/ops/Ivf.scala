@@ -87,16 +87,22 @@ object Ivf {
     if (ordered.length <= cap) driverLloyd(ordered, nlist, iters)
     else {
       var cents = ordered.take(nlist)
-      for (_ <- 0 until iters) {
-        val means = assignProjected(pv, cents)
-          .select(col("__cell"), posexplode(col("__v")))
-          .groupBy(col("__cell"), col("pos"))
-          .agg(avg(col("col")).as("m"))
-          .collect()
-        val next = cents.map(_.clone())
-        for (r <- means) next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
-        cents = next
-      }
+      // the fallback loop re-reads the projected corpus once per iteration —
+      // cache it for the loop's lifetime (iters + the caller's final
+      // assignment all reuse it), as the pre-driver-Lloyd shape did
+      pv.persist()
+      try {
+        for (_ <- 0 until iters) {
+          val means = assignProjected(pv, cents)
+            .select(col("__cell"), posexplode(col("__v")))
+            .groupBy(col("__cell"), col("pos"))
+            .agg(avg(col("col")).as("m"))
+            .collect()
+          val next = cents.map(_.clone())
+          for (r <- means) next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+          cents = next
+        }
+      } finally pv.unpersist()
       cents
     }
   }

@@ -148,14 +148,27 @@ object Similarity {
       .select(col("__bucket"), col("__id").as("nbr_id"))
     val q = signBucketsMulti(queries, vecCol, idCol, planes, tables, seed, dim)
       .select(col("__bucket"), col("__id").as("query_id"))
+    // materialize the deduped candidate set ONCE (localCheckpoint — the
+    // same lineage-cut the ngram/PQ paths use; blocks are reaped when the
+    // frame is unreferenced)
     val cand = c.join(broadcast(q), Seq("__bucket"))
       .filter(col("query_id") =!= col("nbr_id"))
       .dropDuplicates("query_id", "nbr_id")
+      .localCheckpoint()
+    // The candidate set is id pairs only, but it is NOT bounded by
+    // construction (degenerate embeddings can put most of the corpus in one
+    // bucket, making it O(|corpus| × |queries|)) — and a broadcast relation
+    // is non-spillable with a hard size cap. So COUNT the materialized set
+    // (one cheap job over the checkpoint) and broadcast only under a bounded
+    // budget; past it, fall back to a plain shuffled join, which spills
+    // gracefully (guide §3.1: broadcasts are for sides you can PROVE small).
+    val bcastMax = sys.env.getOrElse("GRAFT_ANN_BCAST_CAND_MAX", "2000000").toLong
+    val candSide = if (cand.count() <= bcastMax) broadcast(cand) else cand
     val cvecs = filterDim(corpus, vecCol, dim.get)
       .select(col(idCol).as("nbr_id"), asDouble(col(vecCol)).as("__cv"))
     val qvecs = filterDim(queries, vecCol, dim.get)
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
-    val scored = cvecs.join(broadcast(cand), Seq("nbr_id"))
+    val scored = cvecs.join(candSide, Seq("nbr_id"))
       .join(broadcast(qvecs), Seq("query_id"))
       .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
     val w = Window.partitionBy(col("query_id"))
